@@ -1,0 +1,135 @@
+"""Vectorized Spark UDF stages wrapping the pure-Python text core.
+
+Per input_hint: all per-row logic runs inside pandas/Arrow-batched UDFs
+(mapInPandas) — never row-at-a-time Python UDFs. Each stage consumes and
+emits Arrow record batches; the per-document work calls the *same* functions
+the oracle uses, so extracted text is byte-identical by construction.
+
+Reference parity:
+- extract stage  = E1 (LemmaSearch.clearCodeFromTags, LemmaSearch.java:68-70)
+                 + E7 title at index time (vs the reference's query-time
+                   re-fetch, SearchServiceImpl.java:82-94 — corrected)
+- tokens stage   = E2+E3+E4+E5 fused with A1 per-page tf
+                   (LemmaSearch.splitToLemmas, LemmaSearch.java:33-56):
+                   emitting pre-aggregated (doc_id, term, tf, dl) rows is the
+                   map-side combine — no (doc_id, term)-level shuffle needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
+                               StructType)
+
+from .lexicon import lexicon_dict
+from .text_core import extract_text, extract_title, split_to_lemmas
+
+EXTRACT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("site", StringType(), False),
+    StructField("title", StringType(), True),
+    StructField("text", StringType(), False),
+])
+
+TOKENS_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("site", StringType(), False),
+    StructField("term", StringType(), False),
+    StructField("tf", IntegerType(), False),
+    StructField("dl", IntegerType(), False),
+])
+
+
+def _site_of(url: str) -> str:
+    rest = url.split("://", 1)[-1]
+    return rest.split("/", 1)[0]
+
+
+def extract_docs(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (url, site, title, text).
+
+    Column-pruned: only url+html are read from the scan; the heavy `html`
+    BINARY column never survives past this stage.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            htmls = pdf["html"]
+            texts, titles, sites = [], [], []
+            for url, html in zip(pdf["url"], htmls):
+                if isinstance(html, (bytes, bytearray)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                texts.append(extract_text(html))
+                titles.append(extract_title(html))
+                sites.append(_site_of(url))
+            yield pd.DataFrame({
+                "url": pdf["url"].to_numpy(),
+                "site": sites,
+                "title": titles,
+                "text": texts,
+            })
+
+    return pages.select("url", "html").mapInPandas(fn, schema=EXTRACT_SCHEMA)
+
+
+def tokens_from_docs(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, site, text) -> (doc_id, site, term, tf, dl).
+
+    tf is aggregated inside the batch (per-document Counter) so the shuffle
+    that follows (term repartition / groupBy) moves one row per (doc, term),
+    never one row per token occurrence. dl (=Σtf) rides along to make BM25
+    scoring a pure column expression downstream — no docs join at query time.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex = lexicon_dict()  # built once per worker, cached at module level
+        for pdf in batches:
+            doc_ids, sites, terms, tfs, dls = [], [], [], [], []
+            for doc_id, site, text in zip(pdf["doc_id"], pdf["site"], pdf["text"]):
+                counts = split_to_lemmas(text, lex)
+                dl = sum(counts.values())
+                for term, tf in counts.items():
+                    doc_ids.append(doc_id)
+                    sites.append(site)
+                    terms.append(term)
+                    tfs.append(tf)
+                    dls.append(dl)
+            yield pd.DataFrame({
+                "doc_id": pd.array(doc_ids, dtype="int64"),
+                "site": sites,
+                "term": terms,
+                "tf": pd.array(tfs, dtype="int32"),
+                "dl": pd.array(dls, dtype="int32"),
+            })
+
+    return docs.select("doc_id", "site", "text").mapInPandas(fn, schema=TOKENS_SCHEMA)
+
+
+def doc_lengths(docs_with_text: DataFrame) -> DataFrame:
+    """(doc_id, dl) without emitting token rows — used by stats-only paths."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex = lexicon_dict()
+        for pdf in batches:
+            dls = [sum(split_to_lemmas(t, lex).values()) for t in pdf["text"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "dl": pd.array(dls, dtype="int32"),
+            })
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("dl", IntegerType(), False),
+    ])
+    return docs_with_text.select("doc_id", "text").mapInPandas(fn, schema=schema)
+
+
+def url_bucket_col(url_col, n_buckets: int):
+    """Deterministic md5-based bucket, matching oracle.url_bucket exactly:
+    int(md5(url)[:8], 16) % n_buckets — pure Catalyst expressions."""
+    return (F.conv(F.substring(F.md5(url_col), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets)).cast("int")

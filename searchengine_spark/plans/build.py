@@ -1,0 +1,146 @@
+"""Index build plan — pages ➜ docs ➜ postings ➜ terms ➜ stats.
+
+Replaces the reference's crawl-and-upsert build
+(services/IndexingServiceImpl.startIndexing :80-108 + RecursiveSearch): the
+crawl's output is our input table; every MySQL read-modify-write counter
+(df increment, RecursiveSearch.java:150-161) becomes a declarative
+aggregation; each stage commit is a checkpoint (manifest + parquet dir).
+
+Stage graph (each stage resumable, per-partition lineage in _manifest/):
+
+  docs      pages --extract(mapInPandas)--> +deterministic doc_id
+  postings  docs --tokenize+tf(mapInPandas)--> (term, doc_id, tf, dl, site)
+            partitioned by term_bucket, sorted by (term, doc_id) within files
+  terms     postings groupBy(term) -> df, cf   (A2; exact, not incremental)
+  stats     scalar corpus stats: n_docs, total_tokens, avgdl  (A3)
+
+Scale notes (100 TB / 10^12 docs):
+- the html BINARY column is pruned immediately after extraction; nothing
+  downstream ever shuffles raw html
+- tokens are pre-aggregated per document inside the Arrow batch (map-side
+  combine), so the only wide exchange is the term_bucket repartition
+- doc-id assignment is one hash-bucket shuffle + per-bucket sort; bucket
+  count is config (raise to thousands of buckets on a real cluster)
+- head-term skew is handled at the block-build stage (operators/postings.py)
+  by range-sharding doc_ids of high-df terms — see build_blocks
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from ..functions.udfs import extract_docs, tokens_from_docs, url_bucket_col
+from ..operators.doc_ids import assign_doc_ids
+from ..sources.tableio import TableIO
+
+STAGES = ["docs", "postings", "terms", "stats"]
+
+
+def term_bucket_col(term_col, n_buckets: int):
+    """Partition key for the postings layout — same md5 spec as doc buckets
+    so the oracle/tests can reproduce it."""
+    return url_bucket_col(term_col, n_buckets)
+
+
+class IndexBuilder:
+    def __init__(self, spark, io: TableIO, cfg: EngineConfig | None = None):
+        self.spark = spark
+        self.io = io
+        self.cfg = cfg or EngineConfig()
+
+    # ------------------------------------------------------------------
+
+    def build(self, pages: DataFrame, resume: bool = False) -> dict:
+        """Run all stages; with resume=True, completed stages are skipped
+        (checkpoint-restart, north_rule). Returns the stage report dict."""
+        report: dict[str, dict] = {}
+        if not resume:
+            self.io.invalidate_from(STAGES, STAGES[0])
+
+        t0 = time.monotonic()
+        if resume and self.io.stage_complete("docs"):
+            report["docs"] = {**self.io.read_manifest("docs"), "skipped": True}
+        else:
+            report["docs"] = self._stage_docs(pages).to_json()
+
+        if resume and self.io.stage_complete("postings"):
+            report["postings"] = {**self.io.read_manifest("postings"), "skipped": True}
+        else:
+            report["postings"] = self._stage_postings().to_json()
+
+        if resume and self.io.stage_complete("terms"):
+            report["terms"] = {**self.io.read_manifest("terms"), "skipped": True}
+        else:
+            report["terms"] = self._stage_terms().to_json()
+
+        if resume and self.io.stage_complete("stats"):
+            report["stats"] = {**self.io.read_manifest("stats"), "skipped": True}
+        else:
+            report["stats"] = self._stage_stats().to_json()
+
+        report["_total_wall_ms"] = int((time.monotonic() - t0) * 1000)
+        return report
+
+    # ------------------------------------------------------------------
+
+    def _stage_docs(self, pages: DataFrame):
+        extracted = extract_docs(pages)
+        docs = assign_doc_ids(extracted, self.cfg.doc_id_buckets)
+        return self.io.write_stage(
+            docs.select("doc_id", "url", "site", "title", "text"),
+            "docs",
+            extra={"doc_id_buckets": self.cfg.doc_id_buckets},
+        )
+
+    def _stage_postings(self):
+        docs = self.io.read("docs")
+        tokens = tokens_from_docs(docs)
+        cfg = self.cfg
+        postings = (
+            tokens
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))
+            # co-locate each term's postings and lay them out sorted so the
+            # block encoder (and parquet min/max skipping) sees ordered runs
+            .repartition(cfg.term_buckets, "term_bucket")
+            .sortWithinPartitions("term", "doc_id")
+        )
+        return self.io.write_stage(
+            postings, "postings", partition_by=["term_bucket"],
+            extra={"term_buckets": cfg.term_buckets},
+        )
+
+    def _stage_terms(self):
+        postings = self.io.read("postings")
+        terms = (
+            postings.groupBy("term")
+            # each (doc,term) appears once => count(*) == document frequency
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), self.cfg.term_buckets))
+        )
+        return self.io.write_stage(terms, "terms", partition_by=["term_bucket"])
+
+    def _stage_stats(self):
+        t0 = time.monotonic()
+        docs = self.io.read("docs")
+        postings = self.io.read("postings")
+        n_docs = docs.count()
+        agg = postings.agg(F.sum("tf").alias("total_tokens"),
+                           F.count("*").alias("n_postings")).collect()[0]
+        total_tokens = int(agg["total_tokens"] or 0)
+        n_postings = int(agg["n_postings"] or 0)
+        stats = {
+            "n_docs": n_docs,
+            "n_postings": n_postings,
+            "total_tokens": total_tokens,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        }
+        self.io.write_meta("stats", stats)
+        from ..sources.tableio import StageResult
+        res = StageResult(stage="stats", status="complete", rows=n_docs, bytes=0,
+                          wall_ms=int((time.monotonic() - t0) * 1000), extra=stats)
+        self.io.write_manifest(res)
+        return res

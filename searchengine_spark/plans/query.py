@@ -1,0 +1,160 @@
+"""Query plan — multi-term AND + BM25 top-k over the postings layout.
+
+Reference lifecycle replaced (SURVEY.md §3.1): the reference issues one SQL
+round-trip per lemma, per (lemma,page) pair, and re-fetches pages over HTTP
+for titles (services/SearchServiceImpl.java:96-131). Here a query is ONE
+Spark job over partition-pruned postings:
+
+  driver: lemmatize query -> look up query terms in `terms` (bucket-pruned
+          scan of a tiny frame) -> stopword prune df/N>0.95 -> rarest-first
+  exec:   postings scan pruned to the query terms' term_buckets
+          ⋈ broadcast(query terms + idf)            [J1, broadcast hash join]
+          -> per-posting BM25 term score             [pure column expr, codegen]
+          -> groupBy(doc_id): nt=count, score=sum    [J3+A6 in ONE hash agg]
+          -> filter nt == |Q|                        [AND semantics]
+          -> optional site filter                    [J4]
+          -> orderBy(score desc, doc_id asc) limit   [O3+O4 => TakeOrderedAndProject]
+  driver: join top-k with docs (broadcast the k rows), snippets on k rows
+
+The exact path below is also the correctness yardstick for the block-max
+WAND path (plans/wand.py): both must return identical rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from ..functions.text_core import is_query_valid, split_to_lemmas
+from ..oracle import build_snippet
+from ..sources.tableio import TableIO
+from .build import term_bucket_col
+
+ERR_EMPTY = "Задан пустой поисковый запрос"
+ERR_NOT_RUSSIAN = "Запрос должен быть на русском языке"
+ERR_NOT_FOUND = "Указанная страница не найдена"
+
+
+class QueryEngine:
+    def __init__(self, spark, io: TableIO, cfg: EngineConfig | None = None):
+        self.spark = spark
+        self.io = io
+        self.cfg = cfg or EngineConfig()
+        self.stats = io.read_meta("stats")
+
+    # --- query analysis (driver-side; tiny data) ------------------------
+
+    def analyze(self, query: str) -> list[dict]:
+        """Lemmatize, keep indexed terms, prune stopwords, rarest-first.
+        (getLemmaList, SearchServiceImpl.java:153-168; ties by term asc.)"""
+        lemmas = list(split_to_lemmas(query))
+        if not lemmas:
+            return []
+        buckets = sorted({self._bucket(t) for t in lemmas})
+        terms = self.io.read("terms")
+        rows = (terms
+                .filter(F.col("term_bucket").isin(buckets))  # partition prune
+                .filter(F.col("term").isin(lemmas))
+                .select("term", "df").collect())
+        n = self.stats["n_docs"]
+        kept = [
+            {"term": r["term"], "df": r["df"],
+             "idf": math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))}
+            for r in rows
+            if not (n and r["df"] / n > self.cfg.stopword_df_ratio)
+        ]
+        kept.sort(key=lambda d: (d["df"], d["term"]))
+        return kept
+
+    def _bucket(self, term: str) -> int:
+        import hashlib
+        return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % self.cfg.term_buckets
+
+    # --- scoring ---------------------------------------------------------
+
+    def candidates_df(self, terms: list[dict], site: str | None = None,
+                      relevance_mode: str = "bm25") -> DataFrame:
+        """(doc_id, score) for docs containing ALL query terms."""
+        cfg = self.cfg
+        avgdl = float(self.stats["avgdl"]) or 1.0
+        buckets = sorted({self._bucket(t["term"]) for t in terms})
+        qt = self.spark.createDataFrame(
+            [(t["term"], t["idf"]) for t in terms], "term string, idf double")
+
+        postings = self.io.read("postings")
+        q = (postings
+             .filter(F.col("term_bucket").isin(buckets))
+             .filter(F.col("term").isin([t["term"] for t in terms]))
+             .join(F.broadcast(qt), "term"))
+        if relevance_mode == "bm25":
+            k1, b = cfg.bm25_k1, cfg.bm25_b
+            score = (F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+                     / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(avgdl))))
+        else:  # reference Σtf mode (normalized later)
+            score = F.col("tf").cast("double")
+        agg = (q.withColumn("s", score)
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("nt"), F.sum("s").alias("score"),
+                     F.first("site").alias("site"))
+                .filter(F.col("nt") == F.lit(len(terms))))
+        if site is not None:
+            agg = agg.filter(F.col("site") == F.lit(site))
+        return agg.select("doc_id", "score")
+
+    # --- public search ----------------------------------------------------
+
+    def search(self, query: str, limit: int | None = None, offset: int = 0,
+               site: str | None = None, relevance_mode: str = "bm25",
+               with_snippets: bool = True) -> dict:
+        """Full response, shape-identical to oracle.search."""
+        limit = limit if limit is not None else self.cfg.default_limit
+        if not query:
+            return {"result": False, "error": ERR_EMPTY}
+        if not is_query_valid(query):
+            return {"result": False, "error": ERR_NOT_RUSSIAN}
+        terms = self.analyze(query)
+        if not terms:
+            return {"result": False, "error": ERR_NOT_FOUND}
+
+        cand = self.candidates_df(terms, site, relevance_mode).cache()
+        try:
+            count = cand.count()
+            if count == 0:
+                return {"result": False, "error": ERR_NOT_FOUND}
+            if relevance_mode == "reference":
+                # Σtf / max normalization (SearchServiceImpl.java:96-115)
+                mx = cand.agg(F.max("score")).collect()[0][0]
+                cand_final = cand.withColumn("score", F.col("score") / F.lit(mx))
+            else:
+                cand_final = cand
+            topk = (cand_final
+                    .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                    .offset(offset).limit(limit))
+            docs = self.io.read("docs")
+            hits = (docs.join(F.broadcast(topk), "doc_id")
+                        .select("doc_id", "url", "site", "title", "text", "score")
+                        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                        .collect())
+        finally:
+            cand.unpersist()
+
+        data = []
+        qlemmas_master = [t["term"] for t in terms]
+        for rank, r in enumerate(hits, start=offset + 1):
+            row = {
+                "rank": rank,
+                "doc_id": r["doc_id"],
+                "site": r["site"],
+                "uri": r["url"],
+                "title": r["title"],
+                "score": float(r["score"]),
+            }
+            if with_snippets:
+                # snippet over k rows only; same code path as the oracle
+                row["snippet"] = build_snippet(r["text"], list(qlemmas_master))
+            data.append(row)
+        return {"result": True, "count": count, "data": data}

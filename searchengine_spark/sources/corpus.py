@@ -180,6 +180,10 @@ def gen_pages_spark(spark, n_docs: int, seed: int = DEFAULT_SEED,
     from pyspark.sql.types import (BinaryType, StringType, StructField,
                                    StructType, TimestampType)
 
+    from .deploy import ship_package
+
+    ship_package(spark)
+
     schema = StructType([
         StructField("url", StringType(), False),
         StructField("warc_ts", TimestampType(), False),
