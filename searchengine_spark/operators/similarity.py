@@ -1,0 +1,103 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exactness baseline. Dot product and norms
+  via higher-order functions (zip_with/aggregate) — JVM-side, no Python.
+- random-hyperplane LSH: deterministic integer-arithmetic hyperplanes
+  (reproducible in ANSI SQL), sign-bit bucket codes; ANN = brute force
+  within the query's bucket. At scale the bucket id becomes the shuffle /
+  partition key, so a query touches one partition instead of all vectors
+  (IVF-style routing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HYPERPLANES = 8
+_LCG = 2654435761  # Knuth multiplicative hash constant
+
+
+def hyperplane(j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane j over `dim` dims.
+    Integer arithmetic then a 3-decimal scale — parses to identical doubles
+    in any engine (oracle SQL uses the same literals)."""
+    return [((j * dim + i) * _LCG % 1000) / 1000.0 - 0.5 for i in range(dim)]
+
+
+def _dot(vec_col, const: list[float]):
+    arr = F.array(*[F.lit(float(x)) for x in const])
+    return F.aggregate(
+        F.zip_with(vec_col.cast("array<double>"), arr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _dot_cols(a, b):
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_scores(df: DataFrame, query_vec: list[float],
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, cos) vs a constant query vector — brute force, one pass."""
+    import math
+
+    qnorm = math.sqrt(sum(x * x for x in query_vec))
+    dot = _dot(F.col(vec_col), query_vec)
+    norm = F.sqrt(_dot_cols(F.col(vec_col), F.col(vec_col)))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        (dot / (norm * F.lit(qnorm))).alias("cos"),
+    )
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                exclude_id=None) -> DataFrame:
+    """Top-k by cosine, deterministic (cos desc, vec_id asc) order.
+    orderBy+limit plans as TakeOrderedAndProject — bounded per-partition
+    heap + driver merge, no global sort."""
+    scores = cosine_scores(df, query_vec, vec_col, id_col)
+    if exclude_id is not None:
+        scores = scores.filter(F.col("vec_id") != F.lit(exclude_id))
+    return (scores
+            .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+            .limit(k)
+            .select("vec_id", F.round("cos", 6).alias("cos")))
+
+
+def lsh_buckets(df: DataFrame, dim: int, n_planes: int = N_HYPERPLANES,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, bucket) — sign-bit code over n_planes hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        bit = (_dot(F.col(vec_col), hyperplane(j, dim)) > 0).cast("long")
+        bucket = bucket + bit * F.lit(1 << j)
+    return df.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def lsh_bucket_of(query_vec: list[float], n_planes: int = N_HYPERPLANES) -> int:
+    b = 0
+    for j in range(n_planes):
+        h = hyperplane(j, len(query_vec))
+        if sum(x * y for x, y in zip(query_vec, h)) > 0:
+            b |= 1 << j
+    return b
+
+
+def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 n_planes: int = N_HYPERPLANES, vec_col: str = "embedding",
+                 id_col: str = "vec_id", exclude_id=None) -> DataFrame:
+    """ANN: brute-force cosine restricted to the query's LSH bucket."""
+    dim = len(query_vec)
+    qb = lsh_bucket_of(query_vec, n_planes)
+    member_ids = (lsh_buckets(df, dim, n_planes, vec_col, id_col)
+                  .filter(F.col("bucket") == F.lit(qb))
+                  .select(F.col("vec_id").alias("_bucket_member")))
+    in_bucket = df.join(member_ids,
+                        F.col(id_col) == F.col("_bucket_member"), "left_semi")
+    return cosine_topk(in_bucket, query_vec, k, vec_col, id_col, exclude_id)
