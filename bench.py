@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>, ...extras}
+
+The headline set covers the engine's operator families (SURVEY.md §2): the
+full-text pipeline (tokenize/tf/df, AND intersection, BM25 top-k), the
+training-data operators (dedup, similarity, text stats), plus the end-to-end
+inverted-index BUILD + query path on the deterministic synthetic corpus
+(docs/sec reported in extras). Scaling evidence across two parallelism
+levels lives in bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("searchengine-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+HEADLINE = [
+    "tokenize_tf",
+    "term_df_cf",
+    "corpus_stats",
+    "and_intersection",
+    "relevance_tf_sum",
+    "bm25_topk",
+    "bm25_paged",
+    "per_source_stats",
+    "dedup_exact_summary",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "knn_cosine",
+    "lsh_ann",
+    "quality_scores",
+    "token_counts",
+    "fingerprints",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.monotonic() - t0, 4)
+        print(f"  {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+    return timings
+
+
+def bench_index_build(spark, tmp: str, n_docs: int = 2000) -> dict:
+    """End-to-end: synthetic corpus -> build index -> query p95."""
+    from searchengine_spark.config import EngineConfig
+    from searchengine_spark.plans.build import IndexBuilder
+    from searchengine_spark.plans.query import QueryEngine
+    from searchengine_spark.sources.corpus import gen_pages_spark
+    from searchengine_spark.sources.queryset import reference_queries
+    from searchengine_spark.sources.tableio import TableIO
+
+    pages = gen_pages_spark(spark, n_docs=n_docs, seed=42)
+    io = TableIO(spark, tmp)
+    cfg = EngineConfig()
+    t0 = time.monotonic()
+    IndexBuilder(spark, io, cfg).build(pages)
+    build_s = time.monotonic() - t0
+
+    qe = QueryEngine(spark, io, cfg)
+    lat = []
+    for q in reference_queries():
+        t0 = time.monotonic()
+        qe.search(q["query"], limit=q["k"], offset=q["offset"],
+                  site=q["site"], with_snippets=False)
+        lat.append(time.monotonic() - t0)
+    lat.sort()
+    p95 = lat[max(0, int(len(lat) * 0.95) - 1)] if lat else 0.0
+    return {
+        "build_sec": round(build_s, 4),
+        "build_docs_per_sec": round(n_docs / build_s, 2),
+        "query_p95_sec": round(p95, 4),
+        "n_queries": len(lat),
+        "n_docs": n_docs,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    spark = make_spark(cpus)
+    try:
+        timings = bench_queries(spark, sf_dir)
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="sebench_") as tmp:
+            build = bench_index_build(spark, tmp)
+    finally:
+        spark.stop()
+
+    total = round(sum(timings.values()) + build["build_sec"], 4)
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "index_build": build,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

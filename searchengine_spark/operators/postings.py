@@ -1,0 +1,196 @@
+"""Compressed posting-block codec + block build stage (north_star format).
+
+Replaces the reference's row-per-posting MySQL `index` table
+(model/SearchIndex.java:11-27, one row per (page, lemma, rank)) with a
+columnar block layout:
+
+    one row per (term, shard, block) of up to `block_size` postings:
+      docs_bin  = delta-gap doc_ids, varint        (sorted ascending)
+      tfs_bin   = term frequencies, varint
+      dls_bin   = document lengths, varint         (so BM25 needs no doc join)
+      doc_min / doc_max / n                        (range metadata for skipping)
+      max_tf / max_tfpart                          (block-max metadata)
+
+`max_tfpart` is the idf-independent BM25 factor
+    tfpart(tf, dl) = tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+maximized over the block; a block's score upper bound for a term is
+`idf(term) * max_tfpart`, so block-max WAND needs no terms join at build
+time — idf multiplies in at query time (plans/wand.py).
+
+Skew handling (north_rule "explicit skew mitigation for stopword-heavy
+terms"): terms whose df exceeds `salt_df_threshold` are RANGE-SHARDED on
+doc_id (`shard = doc_id // salt_shard_docs`); every other term gets shard 0.
+The build groupBy key is (term, shard), so no single task ever materializes
+a full stopword posting list. Because sharding is by doc RANGE (not hash
+salt), per-shard block streams are disjoint and ordered — global posting
+order is just (term, shard, block_id) with zero merge pass, and shard
+boundaries align with the WAND range partitioning (range = shard width).
+
+The per-block codec is pure Python over small (≤block_size) lists inside
+Arrow-batched `applyInPandas` groups; a production build would swap the
+inner loop for a C/Arrow kernel, the layout and plan stay identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from ..config import EngineConfig
+
+# --- varint / delta codec (LEB128-style, unsigned) ---------------------------
+
+
+def varint_encode(values: Iterable[int]) -> bytes:
+    out = bytearray()
+    for v in values:
+        if v < 0:
+            raise ValueError(f"varint is unsigned, got {v}")
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def varint_decode(buf: bytes) -> list[int]:
+    out: list[int] = []
+    cur = 0
+    shift = 0
+    for b in buf:
+        cur |= (b & 0x7F) << shift
+        if b & 0x80:
+            shift += 7
+        else:
+            out.append(cur)
+            cur = 0
+            shift = 0
+    if shift:
+        raise ValueError("truncated varint stream")
+    return out
+
+
+def delta_encode(sorted_ids: list[int]) -> list[int]:
+    """Ascending doc_ids -> [first, gap, gap, ...] (gaps ≥ 1 ⇒ store gap-1
+    would save little; we store raw gaps for simplicity/debuggability)."""
+    if not sorted_ids:
+        return []
+    out = [sorted_ids[0]]
+    prev = sorted_ids[0]
+    for v in sorted_ids[1:]:
+        if v <= prev:
+            raise ValueError("doc_ids must be strictly ascending")
+        out.append(v - prev)
+        prev = v
+    return out
+
+
+def delta_decode(deltas: list[int]) -> list[int]:
+    out: list[int] = []
+    cur = 0
+    for i, d in enumerate(deltas):
+        cur = d if i == 0 else cur + d
+        out.append(cur)
+    return out
+
+
+def encode_posting_block(doc_ids: list[int], tfs: list[int],
+                         dls: list[int]) -> tuple[bytes, bytes, bytes]:
+    return (varint_encode(delta_encode(doc_ids)),
+            varint_encode(tfs),
+            varint_encode(dls))
+
+
+def decode_posting_block(docs_bin: bytes, tfs_bin: bytes,
+                         dls_bin: bytes) -> tuple[list[int], list[int], list[int]]:
+    return (delta_decode(varint_decode(docs_bin)),
+            varint_decode(tfs_bin),
+            varint_decode(dls_bin))
+
+
+def bm25_tfpart(tf: float, dl: float, avgdl: float,
+                k1: float = 1.2, b: float = 0.75) -> float:
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+BLOCKS_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("shard", IntegerType(), False),
+    StructField("block_id", IntegerType(), False),
+    StructField("n", IntegerType(), False),
+    StructField("doc_min", LongType(), False),
+    StructField("doc_max", LongType(), False),
+    StructField("max_tf", IntegerType(), False),
+    StructField("max_tfpart", DoubleType(), False),
+    StructField("docs_bin", BinaryType(), False),
+    StructField("tfs_bin", BinaryType(), False),
+    StructField("dls_bin", BinaryType(), False),
+])
+
+
+def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
+                 cfg: EngineConfig) -> DataFrame:
+    """postings(term, doc_id, tf, dl) -> compressed block rows.
+
+    head_terms: terms with df > cfg.salt_df_threshold (collected driver-side
+    from the `terms` stage — a handful of stopwords even at web scale; goes
+    out as a broadcast-able isin literal).
+    """
+    block_size = cfg.block_size
+    shard_docs = cfg.salt_shard_docs
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+
+    shard = (
+        F.when(F.col("term").isin(list(head_terms)),
+               (F.col("doc_id") / F.lit(shard_docs)).cast("int"))
+        .otherwise(F.lit(0))
+    )
+
+    def encode_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        shard_v = int(pdf["shard"].iloc[0])
+        doc_ids = pdf["doc_id"].astype("int64").tolist()
+        tfs = pdf["tf"].astype("int64").tolist()
+        dls = pdf["dl"].astype("int64").tolist()
+        rows = []
+        for bi in range(0, len(doc_ids), block_size):
+            d = doc_ids[bi:bi + block_size]
+            t = tfs[bi:bi + block_size]
+            l = dls[bi:bi + block_size]
+            docs_bin, tfs_bin, dls_bin = encode_posting_block(d, t, l)
+            rows.append({
+                "term": term,
+                "shard": shard_v,
+                "block_id": bi // block_size,
+                "n": len(d),
+                "doc_min": d[0],
+                "doc_max": d[-1],
+                "max_tf": max(t),
+                "max_tfpart": max(
+                    bm25_tfpart(tf_i, dl_i, avgdl, k1, b)
+                    for tf_i, dl_i in zip(t, l)
+                ),
+                "docs_bin": docs_bin,
+                "tfs_bin": tfs_bin,
+                "dls_bin": dls_bin,
+            })
+        return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+    return (
+        postings
+        .select("term", "doc_id", "tf", "dl")
+        .withColumn("shard", shard)
+        .groupBy("term", "shard")
+        .applyInPandas(encode_group, schema=BLOCKS_SCHEMA)
+    )

@@ -47,10 +47,12 @@ class SearchEngine:
 
     def search(self, query: str, limit: int | None = None, offset: int = 0,
                site: str | None = None, relevance_mode: str = "bm25",
-               with_snippets: bool = True) -> dict:
+               with_snippets: bool = True, strategy: str = "exact",
+               count_mode: str = "exact") -> dict:
         return self.query_engine.search(query, limit=limit, offset=offset,
                                         site=site, relevance_mode=relevance_mode,
-                                        with_snippets=with_snippets)
+                                        with_snippets=with_snippets,
+                                        strategy=strategy, count_mode=count_mode)
 
     # --- statistics (C5) --------------------------------------------------
 

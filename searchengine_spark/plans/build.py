@@ -37,7 +37,7 @@ from ..functions.udfs import extract_docs, tokens_from_docs, url_bucket_col
 from ..operators.doc_ids import assign_doc_ids
 from ..sources.tableio import TableIO
 
-STAGES = ["docs", "postings", "terms", "stats"]
+STAGES = ["docs", "postings", "terms", "stats", "blocks"]
 
 
 def term_bucket_col(term_col, n_buckets: int):
@@ -81,6 +81,11 @@ class IndexBuilder:
             report["stats"] = {**self.io.read_manifest("stats"), "skipped": True}
         else:
             report["stats"] = self._stage_stats().to_json()
+
+        if resume and self.io.stage_complete("blocks"):
+            report["blocks"] = {**self.io.read_manifest("blocks"), "skipped": True}
+        else:
+            report["blocks"] = self._stage_blocks().to_json()
 
         report["_total_wall_ms"] = int((time.monotonic() - t0) * 1000)
         return report
@@ -144,3 +149,30 @@ class IndexBuilder:
                           wall_ms=int((time.monotonic() - t0) * 1000), extra=stats)
         self.io.write_manifest(res)
         return res
+
+    def _stage_blocks(self):
+        """Compressed posting blocks (operators/postings.py): delta+varint,
+        block-max metadata, range-sharded head terms. Runs after stats so
+        avgdl is available for the idf-independent block-max factor."""
+        from ..operators.postings import build_blocks
+
+        cfg = self.cfg
+        postings = self.io.read("postings")
+        terms = self.io.read("terms")
+        stats = self.io.read_meta("stats")
+        # head terms (df above salting threshold) are few even at web scale —
+        # a bounded driver-side collect, shipped as an isin literal
+        head = [r["term"] for r in
+                terms.filter(F.col("df") > cfg.salt_df_threshold)
+                     .select("term").collect()]
+        blocks = (
+            build_blocks(postings, head, float(stats["avgdl"]) or 1.0, cfg)
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))
+            .repartition(cfg.term_buckets, "term_bucket")
+            .sortWithinPartitions("term", "shard", "block_id")
+        )
+        return self.io.write_stage(
+            blocks, "blocks", partition_by=["term_bucket"],
+            extra={"head_terms": head, "block_size": cfg.block_size,
+                   "salt_shard_docs": cfg.salt_shard_docs},
+        )

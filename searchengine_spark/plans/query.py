@@ -109,8 +109,16 @@ class QueryEngine:
 
     def search(self, query: str, limit: int | None = None, offset: int = 0,
                site: str | None = None, relevance_mode: str = "bm25",
-               with_snippets: bool = True) -> dict:
-        """Full response, shape-identical to oracle.search."""
+               with_snippets: bool = True, strategy: str = "exact",
+               count_mode: str = "exact") -> dict:
+        """Full response, shape-identical to oracle.search.
+
+        strategy="exact": one-shuffle hash-agg path (always available).
+        strategy="wand":  block-max WAND over compressed posting blocks
+                          (plans/wand.py) — bm25 mode, no site filter
+                          (site-filtered queries fall back to exact).
+        count_mode="none" skips the total-match count (count is inherently a
+        full-intersection job; WAND's point is NOT doing that work)."""
         limit = limit if limit is not None else self.cfg.default_limit
         if not query:
             return {"result": False, "error": ERR_EMPTY}
@@ -120,27 +128,46 @@ class QueryEngine:
         if not terms:
             return {"result": False, "error": ERR_NOT_FOUND}
 
-        cand = self.candidates_df(terms, site, relevance_mode).cache()
-        try:
-            count = cand.count()
-            if count == 0:
-                return {"result": False, "error": ERR_NOT_FOUND}
-            if relevance_mode == "reference":
-                # Σtf / max normalization (SearchServiceImpl.java:96-115)
-                mx = cand.agg(F.max("score")).collect()[0][0]
-                cand_final = cand.withColumn("score", F.col("score") / F.lit(mx))
-            else:
-                cand_final = cand
-            topk = (cand_final
-                    .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-                    .offset(offset).limit(limit))
+        use_wand = (strategy == "wand" and site is None
+                    and relevance_mode == "bm25")
+        count = None
+        if use_wand:
+            from .wand import wand_topk
+            topk = wand_topk(self.spark, self.io, self.cfg, terms,
+                             k=limit, offset=offset)
+            if count_mode == "exact":
+                count = self.candidates_df(terms, site, relevance_mode).count()
             docs = self.io.read("docs")
             hits = (docs.join(F.broadcast(topk), "doc_id")
                         .select("doc_id", "url", "site", "title", "text", "score")
                         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                         .collect())
-        finally:
-            cand.unpersist()
+            if not hits:
+                return {"result": False, "error": ERR_NOT_FOUND}
+            if count is None:
+                count = len(hits)
+        else:
+            cand = self.candidates_df(terms, site, relevance_mode).cache()
+            try:
+                count = cand.count()
+                if count == 0:
+                    return {"result": False, "error": ERR_NOT_FOUND}
+                if relevance_mode == "reference":
+                    # Σtf / max normalization (SearchServiceImpl.java:96-115)
+                    mx = cand.agg(F.max("score")).collect()[0][0]
+                    cand_final = cand.withColumn("score", F.col("score") / F.lit(mx))
+                else:
+                    cand_final = cand
+                topk = (cand_final
+                        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                        .offset(offset).limit(limit))
+                docs = self.io.read("docs")
+                hits = (docs.join(F.broadcast(topk), "doc_id")
+                            .select("doc_id", "url", "site", "title", "text", "score")
+                            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                            .collect())
+            finally:
+                cand.unpersist()
 
         data = []
         qlemmas_master = [t["term"] for t in terms]

@@ -1,0 +1,188 @@
+"""Block-max WAND top-k over the compressed posting blocks.
+
+Serving-scale counterpart of plans/query.py's exact DataFrame path (both
+must return rank-identical rows — tests/test_wand.py enforces it). The
+reference's analog is the term-at-a-time intersection loop
+(services/SearchServiceImpl.java:133-140) which materializes every posting
+row; here we skip whole doc-ranges and blocks that cannot contain a top-k
+hit.
+
+Physical plan:
+
+  blocks scan, pruned to the query terms' term_buckets (partition prune)
+    -> filter term ∈ Q                                [tiny fraction of index]
+    -> explode block -> covered range_ids             [head-term blocks span
+                                                       exactly one range: the
+                                                       build's range-sharding
+                                                       width == WAND range]
+    -> wand_group = range_id % P                      [P tasks, each owning
+                                                       many doc ranges]
+    -> applyInPandas(wand_task)                       [per task:
+         ranges sorted by upper bound desc;
+         skip range if upper < θ (block-max pruning);
+         rarest-first AND intersection w/ doc-range block skipping;
+         exact BM25 scores; bounded min-heap of size offset+k]
+    -> union of ≤ P·k' partial rows
+    -> orderBy(score desc, doc_id asc).limit           [TakeOrderedAndProject]
+
+Upper bound per (term, range) = idf · max(max_tfpart of its blocks there);
+per range = Σ over query terms — sound because scores are sums of
+non-negative term parts and AND candidates are a subset of every term's
+postings. A range is skipped only when its bound is STRICTLY below the
+current k'-th score, so score-ties (broken by doc_id asc) stay exact.
+
+On a multi-executor cluster the local θ per task converges from that task's
+own ranges; cross-task θ sharing would be an iterative refinement (run hot
+ranges first, broadcast θ, rerun) — unnecessary at current scales and noted
+as the known trade-off.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
+
+from ..config import EngineConfig
+from ..operators.postings import bm25_tfpart, decode_posting_block
+from .build import term_bucket_col
+
+TOPK_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("score", DoubleType(), False),
+])
+
+
+def _wand_task(pdf, *, term_order: list[str], idf: dict[str, float],
+               avgdl: float, k1: float, b: float, kprime: int,
+               range_w: int):
+    """One task: blocks of several doc-ranges -> ≤ kprime (doc_id, score).
+
+    Each doc belongs to exactly one range (doc_id // range_w); postings
+    decoded from a range-spanning block are filtered to the range's doc
+    window so every doc is scored exactly once, with ALL its query-term
+    postings present (completeness: every block overlapping the range is in
+    this group)."""
+    import pandas as pd
+
+    # heap of (score, -doc_id): worst element first under (score asc,
+    # doc_id desc) == worst under our (score desc, doc_id asc) ranking
+    heap: list[tuple[float, int]] = []
+
+    def theta() -> tuple[float, int] | None:
+        return (heap[0][0], -heap[0][1]) if len(heap) >= kprime else None
+
+    by_range: dict[int, pd.DataFrame] = {
+        int(r): g for r, g in pdf.groupby("range_id")
+    }
+    # range upper bound = Σ_t idf_t · max tfpart_t within the range
+    uppers: list[tuple[float, int]] = []
+    for rid, g in by_range.items():
+        ub = sum(idf[t] * float(gg["max_tfpart"].max())
+                 for t, gg in g.groupby("term"))
+        uppers.append((ub, rid))
+    uppers.sort(reverse=True)
+
+    for ub, rid in uppers:
+        th = theta()
+        if th is not None and ub < th[0]:
+            break  # ranges are sorted: nothing below can beat θ either
+        g = by_range[rid]
+        w_lo, w_hi = rid * range_w, (rid + 1) * range_w
+        per_term = {t: gg for t, gg in g.groupby("term")}
+        if any(t not in per_term for t in term_order):
+            continue  # AND semantics: a term absent from the range ⇒ no hit
+
+        # rarest-first intersection with block skipping
+        cand: dict[int, float] | None = None
+        for t in term_order:
+            gg = per_term[t].sort_values(["shard", "block_id"])
+            if cand is not None:
+                if not cand:
+                    break
+                lo, hi = min(cand), max(cand)
+                gg = gg[(gg["doc_max"] >= lo) & (gg["doc_min"] <= hi)]
+            nxt: dict[int, float] = {}
+            idf_t = idf[t]
+            for docs_bin, tfs_bin, dls_bin in zip(
+                    gg["docs_bin"], gg["tfs_bin"], gg["dls_bin"]):
+                ds, ts, ls = decode_posting_block(
+                    bytes(docs_bin), bytes(tfs_bin), bytes(dls_bin))
+                if cand is None:
+                    for d, tf, dl in zip(ds, ts, ls):
+                        if w_lo <= d < w_hi:
+                            nxt[d] = idf_t * bm25_tfpart(tf, dl, avgdl, k1, b)
+                else:
+                    for d, tf, dl in zip(ds, ts, ls):
+                        prev = cand.get(d)
+                        if prev is not None:
+                            nxt[d] = prev + idf_t * bm25_tfpart(
+                                tf, dl, avgdl, k1, b)
+            cand = nxt
+        if not cand:
+            continue
+        for d, s in cand.items():
+            item = (s, -d)
+            if len(heap) < kprime:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+
+    return pd.DataFrame(
+        {"doc_id": pd.array([-nd for _, nd in heap], dtype="int64"),
+         "score": pd.array([s for s, _ in heap], dtype="float64")})
+
+
+def wand_topk(spark, io, cfg: EngineConfig, terms: list[dict],
+              k: int, offset: int = 0,
+              n_tasks: int | None = None) -> DataFrame:
+    """terms: analyze() output [{term, df, idf}] rarest-first.
+    Returns DataFrame(doc_id, score) of the global top-(offset+k)."""
+    stats = io.read_meta("stats")
+    avgdl = float(stats["avgdl"]) or 1.0
+    kprime = offset + k
+    n_tasks = n_tasks or spark.sparkContext.defaultParallelism
+    range_w = cfg.salt_shard_docs
+
+    term_order = [t["term"] for t in terms]
+    idf = {t["term"]: t["idf"] for t in terms}
+    buckets = sorted({term_bucket_col_val(t, cfg.term_buckets)
+                      for t in term_order})
+
+    blocks = (
+        io.read("blocks")
+        .filter(F.col("term_bucket").isin(buckets))   # partition prune
+        .filter(F.col("term").isin(term_order))
+    )
+    # explode each block to every doc-range it covers; sharded (head-term)
+    # blocks cover exactly one because shard width == range width
+    exploded = (
+        blocks
+        .withColumn("range_id",
+                    F.explode(F.sequence(
+                        (F.col("doc_min") / F.lit(range_w)).cast("long"),
+                        (F.col("doc_max") / F.lit(range_w)).cast("long"))))
+        .withColumn("wand_group",
+                    (F.col("range_id") % F.lit(n_tasks)).cast("int"))
+    )
+
+    def task(pdf):
+        return _wand_task(pdf, term_order=term_order, idf=idf, avgdl=avgdl,
+                          k1=cfg.bm25_k1, b=cfg.bm25_b, kprime=kprime,
+                          range_w=range_w)
+
+    partial = exploded.groupBy("wand_group").applyInPandas(
+        task, schema=TOPK_SCHEMA)
+    # NB: a doc whose postings land in one range can still be emitted by two
+    # tasks only if a block spans ranges AND both copies see it — dedup by
+    # doc_id keeping max (scores are identical; max is a safe dedup)
+    return (partial.groupBy("doc_id").agg(F.max("score").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .offset(offset).limit(k))
+
+
+def term_bucket_col_val(term: str, n_buckets: int) -> int:
+    import hashlib
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
