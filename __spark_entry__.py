@@ -138,6 +138,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.lsh_ann_topk(_emb(spark, sf), qv, k=ANN_K,
                                 n_planes=N_PLANES, exclude_id=0)
 
+    # multimodal family (payload BINARY + typed metadata; decode stubbed —
+    # deterministic fake, operators/multimodal.py)
+    def q_media_metadata(spark, sf):
+        from searchengine_spark.operators import multimodal as mm
+        media = mm.media_from_documents(_docs(spark, sf))
+        return mm.image_metadata(media)
+
+    def q_frame_counts(spark, sf):
+        from searchengine_spark.operators import multimodal as mm
+        media = mm.media_from_documents(_docs(spark, sf), "video")
+        return mm.frame_counts(media, every_n=4)
+
+    def q_audio_durations(spark, sf):
+        from searchengine_spark.operators import multimodal as mm
+        media = mm.media_from_documents(_docs(spark, sf), "audio")
+        return mm.audio_durations(media)
+
+    def q_emb_neardup(spark, sf):
+        return sim.cosine_neardup_pairs(_emb(spark, sf), dim=EMB_DIM,
+                                        n_planes=N_PLANES, threshold=0.9)
+
     # text analysis family
     def q_quality_scores(spark, sf):
         return ts.quality_scores(_docs(spark, sf))
@@ -172,6 +193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "lsh_buckets": q_lsh_buckets,
         "lsh_ann": q_lsh_ann,
+        "media_metadata": q_media_metadata,
+        "frame_counts": q_frame_counts,
+        "audio_durations": q_audio_durations,
+        "emb_neardup": q_emb_neardup,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -371,6 +396,36 @@ s AS (SELECT vec_id,
       FROM bucketed WHERE bucket = (SELECT b FROM qb) AND vec_id <> 0)
 SELECT vec_id, round(cos, 6) AS cos FROM s
 ORDER BY cos DESC, vec_id ASC LIMIT {ANN_K}""",
+        "media_metadata": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS fp,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST((octet_length(encode(text)) // 640) % 480 + 1 AS INT) AS height,
+       'L' AS mode
+FROM documents""",
+        "frame_counts": """
+SELECT doc_id,
+       CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
+       CAST(ceil(ceil(octet_length(encode(text)) / 256.0) / 4.0) AS BIGINT) AS n_sampled
+FROM documents""",
+        "audio_durations": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) // 16 AS BIGINT) AS duration_ms
+FROM documents""",
+        "emb_neardup": f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve,
+         {_lsh_bucket_expr('embedding::DOUBLE[]', EMB_DIM, N_PLANES)} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.ve, b.ve)
+           / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS cos
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.9""",
         "quality_scores": f"""
 WITH {_TOK}
 SELECT doc_id,

@@ -79,7 +79,9 @@ def bench_index_build(spark, tmp: str, n_docs: int = 2000) -> dict:
     from searchengine_spark.sources.queryset import reference_queries
     from searchengine_spark.sources.tableio import TableIO
 
-    pages = gen_pages_spark(spark, n_docs=n_docs, seed=42)
+    pages_path = os.path.join(tmp, "pages")
+    gen_pages_spark(spark, n_docs=n_docs, seed=42).write.parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
     io = TableIO(spark, tmp)
     cfg = EngineConfig()
     t0 = time.monotonic()

@@ -42,7 +42,12 @@ def run_level(cpus: int, n_docs: int) -> dict:
     try:
         with tempfile.TemporaryDirectory(prefix=f"sescale{cpus}_") as work:
             eng = SearchEngine(spark, work)
-            pages = gen_pages_spark(spark, n_docs, partitions=cpus * 2)
+            # materialize the input table first (per input_hint the engine's
+            # input IS a table of pages); only the index build is timed
+            pages_path = os.path.join(work, "pages")
+            gen_pages_spark(spark, n_docs, partitions=cpus * 2) \
+                .write.parquet(pages_path)
+            pages = spark.read.parquet(pages_path)
             t0 = time.monotonic()
             report = eng.build_index(pages)
             build_s = time.monotonic() - t0

@@ -14,16 +14,18 @@ class EngineConfig:
     # (reference SearchServiceImpl.java:161)
     stopword_df_ratio: float = 0.95
     # deterministic doc-id assignment buckets (shuffle width of the
-    # assignment stage; raise to thousands on a real cluster)
-    doc_id_buckets: int = 8
+    # assignment stage; raise to thousands on a real cluster). Must never
+    # cap parallelism below the core count — 64 covers local[32].
+    doc_id_buckets: int = 64
     # posting-block codec
     block_size: int = 128
     # skew handling: terms with df > salt_df_threshold are range-sharded by
     # doc_id so no single build task materializes a full stopword posting list
     salt_df_threshold: int = 50_000
     salt_shard_docs: int = 25_000  # docs per range shard for head terms
-    # postings layout: term-hash buckets (partition pruning at query time)
-    term_buckets: int = 16
+    # postings layout: term-hash buckets (partition pruning at query time);
+    # also the write parallelism of the postings/blocks stages
+    term_buckets: int = 64
     # defaults mirrored from the reference UI
     default_limit: int = 10  # templates/index.html:128
     snippet_window: int = 20  # SnippetSearch.java:25

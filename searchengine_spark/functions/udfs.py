@@ -35,6 +35,9 @@ EXTRACT_SCHEMA = StructType([
     StructField("text", StringType(), False),
 ])
 
+EXTRACT_SCHEMA_WITH_ID = StructType(
+    [StructField("doc_id", LongType(), False)] + EXTRACT_SCHEMA.fields)
+
 TOKENS_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
     StructField("site", StringType(), False),
@@ -50,11 +53,15 @@ def _site_of(url: str) -> str:
 
 
 def extract_docs(pages: DataFrame) -> DataFrame:
-    """pages(url, html, ...) -> (url, site, title, text).
+    """pages(url, html, [doc_id], ...) -> ([doc_id], url, site, title, text).
 
-    Column-pruned: only url+html are read from the scan; the heavy `html`
-    BINARY column never survives past this stage.
+    Column-pruned: only url+html (+doc_id when present) are read from the
+    scan; the heavy `html` BINARY column never survives past this stage.
+    A pre-assigned doc_id column rides through so the build can assign ids
+    from raw urls BEFORE extraction (ids are a function of the url set only)
+    and run this UDF exactly once.
     """
+    with_id = "doc_id" in pages.columns
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -66,13 +73,19 @@ def extract_docs(pages: DataFrame) -> DataFrame:
                 texts.append(extract_text(html))
                 titles.append(extract_title(html))
                 sites.append(_site_of(url))
-            yield pd.DataFrame({
+            out = {
                 "url": pdf["url"].to_numpy(),
                 "site": sites,
                 "title": titles,
                 "text": texts,
-            })
+            }
+            if with_id:
+                out = {"doc_id": pdf["doc_id"].to_numpy(), **out}
+            yield pd.DataFrame(out)
 
+    if with_id:
+        return pages.select("doc_id", "url", "html").mapInPandas(
+            fn, schema=EXTRACT_SCHEMA_WITH_ID)
     return pages.select("url", "html").mapInPandas(fn, schema=EXTRACT_SCHEMA)
 
 

@@ -89,6 +89,32 @@ def lsh_bucket_of(query_vec: list[float], n_planes: int = N_HYPERPLANES) -> int:
     return b
 
 
+def cosine_neardup_pairs(df: DataFrame, dim: int,
+                         n_planes: int = N_HYPERPLANES,
+                         threshold: float = 0.9,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: candidate pairs
+    come from equality on the sign-bit bucket (bucket is the join/shuffle
+    key — O(Σ bucket²) instead of O(n²)), then exact cosine filters.
+    Note (documented recall bound): pairs split across buckets are missed —
+    the standard LSH trade-off; raise recall with multiple plane sets."""
+    b = lsh_buckets(df, dim, n_planes, vec_col, id_col)
+    v = (df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+         .join(b, "vec_id"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                 "bucket")
+    c = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                 "bucket")
+    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = (_dot_cols(F.col("va"), F.col("vb"))
+           / (F.sqrt(_dot_cols(F.col("va"), F.col("va")))
+              * F.sqrt(_dot_cols(F.col("vb"), F.col("vb")))))
+    return (pairs.withColumn("cos", cos)
+            .filter(F.col("cos") >= F.lit(threshold))
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos")))
+
+
 def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  n_planes: int = N_HYPERPLANES, vec_col: str = "embedding",
                  id_col: str = "vec_id", exclude_id=None) -> DataFrame:

@@ -48,7 +48,7 @@ BM25_B = 0.75
 STOPWORD_DF_RATIO = 0.95  # SearchServiceImpl.java:161
 SNIPPET_WINDOW = 20  # SnippetSearch.java:25
 DEFAULT_LIMIT = 10  # templates/index.html:128
-DEFAULT_DOC_BUCKETS = 8
+DEFAULT_DOC_BUCKETS = 64  # keep in sync with EngineConfig.doc_id_buckets
 
 
 def url_bucket(url: str, n_buckets: int = DEFAULT_DOC_BUCKETS) -> int:

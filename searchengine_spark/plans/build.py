@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..config import EngineConfig
 from ..functions.udfs import extract_docs, tokens_from_docs, url_bucket_col
-from ..operators.doc_ids import assign_doc_ids
+from ..operators.doc_ids import attach_doc_ids, compute_bucket_offsets
 from ..sources.tableio import TableIO
 
 STAGES = ["docs", "postings", "terms", "stats", "blocks"]
@@ -93,8 +93,13 @@ class IndexBuilder:
     # ------------------------------------------------------------------
 
     def _stage_docs(self, pages: DataFrame):
+        # ids are a function of the url SET only: the bucket-count job runs
+        # on a url-only projection (Catalyst prunes the scan; html never
+        # loads), then the extract UDF runs exactly once and the id window
+        # shuffles the html-free extracted frame
+        offsets = compute_bucket_offsets(pages, self.cfg.doc_id_buckets)
         extracted = extract_docs(pages)
-        docs = assign_doc_ids(extracted, self.cfg.doc_id_buckets)
+        docs = attach_doc_ids(extracted, offsets, self.cfg.doc_id_buckets)
         return self.io.write_stage(
             docs.select("doc_id", "url", "site", "title", "text"),
             "docs",
@@ -125,14 +130,18 @@ class IndexBuilder:
             # each (doc,term) appears once => count(*) == document frequency
             .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
             .withColumn("term_bucket", term_bucket_col(F.col("term"), self.cfg.term_buckets))
+            # co-locate each bucket in one task so the partitioned write
+            # emits one file per bucket, not tasks×buckets small files
+            .repartition(self.cfg.term_buckets, "term_bucket")
         )
         return self.io.write_stage(terms, "terms", partition_by=["term_bucket"])
 
     def _stage_stats(self):
         t0 = time.monotonic()
-        docs = self.io.read("docs")
         postings = self.io.read("postings")
-        n_docs = docs.count()
+        # row counts already recorded in the stage manifests (parquet
+        # footers) — no extra count job
+        n_docs = self.io.read_manifest("docs")["rows"]
         agg = postings.agg(F.sum("tf").alias("total_tokens"),
                            F.count("*").alias("n_postings")).collect()[0]
         total_tokens = int(agg["total_tokens"] or 0)

@@ -56,6 +56,7 @@ def _recommit_docs(spark, io: TableIO, cfg: EngineConfig, new_docs: DataFrame) -
     report["postings"] = builder._stage_postings().to_json()
     report["terms"] = builder._stage_terms().to_json()
     report["stats"] = builder._stage_stats().to_json()
+    report["blocks"] = builder._stage_blocks().to_json()
     return report
 
 

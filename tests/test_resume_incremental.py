@@ -1,0 +1,151 @@
+"""Checkpoint-resume (north_rule) + incremental maintenance (C3/S7/S8).
+
+Resume: kill after stage n is simulated by invalidating later stages'
+manifests; a resume build must skip completed stages and produce an index
+identical to a from-scratch build. Incremental: upsert/remove recompute the
+affected slices; results must equal an oracle built on the edited page set
+(the declarative analog of the reference's df-decrement math,
+services/IndexingServiceImpl.removePageDataFromBD :185-198)."""
+
+import os
+import shutil
+
+import pytest
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def small_engine(spark, tmp_path_factory):
+    from searchengine_spark.plans.api import SearchEngine
+    from searchengine_spark.sources.corpus import gen_pages_spark
+
+    work = str(tmp_path_factory.mktemp("resume_work"))
+    eng = SearchEngine(spark, work)
+    eng.build_index(gen_pages_spark(spark, N, partitions=4))
+    yield eng
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def _terms_snapshot(eng):
+    return {r["term"]: (r["df"], r["cf"])
+            for r in eng.io.read("terms").collect()}
+
+
+def test_resume_skips_completed_stages(small_engine, spark):
+    from searchengine_spark.plans.build import STAGES
+    from searchengine_spark.sources.corpus import gen_pages_spark
+
+    before = _terms_snapshot(small_engine)
+    io = small_engine.io
+
+    # simulate a crash after 'postings': later stages lose manifest + data
+    for stage in ("terms", "stats", "blocks"):
+        os.remove(io._manifest_path(stage))
+        shutil.rmtree(io.path(stage), ignore_errors=True)
+    if os.path.exists(os.path.join(io.work_dir, "stats.json")):
+        os.remove(os.path.join(io.work_dir, "stats.json"))
+    assert io.stage_complete("docs") and io.stage_complete("postings")
+    assert not io.stage_complete("terms")
+
+    report = small_engine.build_index(
+        gen_pages_spark(spark, N, partitions=4), resume=True)
+    assert report["docs"].get("skipped") is True
+    assert report["postings"].get("skipped") is True
+    assert "skipped" not in report["terms"]
+    assert "skipped" not in report["blocks"]
+    for stage in STAGES:
+        assert io.stage_complete(stage)
+    assert _terms_snapshot(small_engine) == before
+
+
+def test_resume_noop_when_all_complete(small_engine, spark):
+    from searchengine_spark.sources.corpus import gen_pages_spark
+
+    report = small_engine.build_index(
+        gen_pages_spark(spark, N, partitions=4), resume=True)
+    assert all(report[s].get("skipped") for s in
+               ("docs", "postings", "terms", "stats", "blocks"))
+
+
+@pytest.fixture()
+def inc_engine(spark, tmp_path_factory):
+    from searchengine_spark.plans.api import SearchEngine
+    from searchengine_spark.sources.corpus import gen_pages_spark
+
+    work = str(tmp_path_factory.mktemp("inc_work"))
+    eng = SearchEngine(spark, work)
+    eng.build_index(gen_pages_spark(spark, N, partitions=4))
+    yield eng
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def _oracle_for(pages):
+    from searchengine_spark import oracle as O
+
+    return O.build_index(pages)
+
+
+def test_upsert_docs_matches_oracle(inc_engine, spark):
+    from searchengine_spark import oracle as O
+    from searchengine_spark.sources.corpus import gen_pages_local
+
+    base = gen_pages_local(N)
+    # change 3 pages' content (reuse other pages' html) + add 2 new pages
+    extra = gen_pages_local(N + 2)[-2:]
+    changed = [dict(base[5], html=base[50]["html"], text=base[50]["text"]),
+               dict(base[17], html=base[60]["html"], text=base[60]["text"]),
+               dict(base[33], html=base[70]["html"], text=base[70]["text"]),
+               *extra]
+    pdf = spark.createDataFrame(
+        [(c["url"], c["warc_ts"], c["html"], c["text"], c["lang"])
+         for c in changed],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    inc_engine.upsert_docs(pdf)
+
+    edited = {p["url"]: p for p in base}
+    for c in changed:
+        edited[c["url"]] = c
+    idx = _oracle_for(list(edited.values()))
+
+    assert _terms_snapshot(inc_engine) == {
+        t: (idx.df[t], idx.cf[t]) for t in idx.df}
+    q = "леопард обитает"
+    want = O.search(idx, q, limit=10)
+    got = inc_engine.search(q, limit=10)
+    assert got["result"] == want["result"]
+    if want["result"]:
+        assert [h["doc_id"] for h in got["data"]] == \
+               [h["doc_id"] for h in want["data"]]
+
+
+def test_remove_page_df_decrement(inc_engine):
+    """Removing one page decrements df for exactly its lemmas and deletes
+    zero-df terms (the reference's removePageDataFromBD math, recomputed
+    declaratively)."""
+    from searchengine_spark.sources.corpus import gen_pages_local
+
+    base = gen_pages_local(N)
+    victim = base[7]
+    inc_engine.remove_page(victim["url"])
+    idx = _oracle_for([p for p in base if p["url"] != victim["url"]])
+    assert _terms_snapshot(inc_engine) == {
+        t: (idx.df[t], idx.cf[t]) for t in idx.df}
+    urls = {r["url"] for r in inc_engine.io.read("docs").select("url").collect()}
+    assert victim["url"] not in urls and len(urls) == N - 1
+
+
+def test_remove_site_cascade(inc_engine):
+    from searchengine_spark import oracle as O
+    from searchengine_spark.sources.corpus import gen_pages_local
+
+    base = gen_pages_local(N)
+    site = O.site_of(base[0]["url"])
+    inc_engine.remove_site(site)
+    kept = [p for p in base if O.site_of(p["url"]) != site]
+    assert 0 < len(kept) < N
+    idx = _oracle_for(kept)
+    docs = inc_engine.io.read("docs")
+    assert docs.count() == len(kept)
+    assert _terms_snapshot(inc_engine) == {
+        t: (idx.df[t], idx.cf[t]) for t in idx.df}
