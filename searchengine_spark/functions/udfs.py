@@ -63,30 +63,31 @@ def extract_docs(pages: DataFrame) -> DataFrame:
     """
     with_id = "doc_id" in pages.columns
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            htmls = pdf["html"]
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        for rb in batches:
+            urls = rb.column(rb.schema.get_field_index("url")).to_pylist()
+            htmls = rb.column(rb.schema.get_field_index("html")).to_pylist()
             texts, titles, sites = [], [], []
-            for url, html in zip(pdf["url"], htmls):
+            for html in htmls:
                 if isinstance(html, (bytes, bytearray)):
                     html = bytes(html).decode("utf-8", errors="replace")
                 texts.append(extract_text(html))
                 titles.append(extract_title(html))
-                sites.append(_site_of(url))
-            out = {
-                "url": pdf["url"].to_numpy(),
-                "site": sites,
-                "title": titles,
-                "text": texts,
-            }
+            sites = [_site_of(u) for u in urls]
+            cols = [pa.array(urls, pa.string()), pa.array(sites, pa.string()),
+                    pa.array(titles, pa.string()), pa.array(texts, pa.string())]
+            names = ["url", "site", "title", "text"]
             if with_id:
-                out = {"doc_id": pdf["doc_id"].to_numpy(), **out}
-            yield pd.DataFrame(out)
+                ids = rb.column(rb.schema.get_field_index("doc_id"))
+                cols, names = [ids, *cols], ["doc_id", *names]
+            yield pa.RecordBatch.from_arrays(cols, names)
 
     if with_id:
-        return pages.select("doc_id", "url", "html").mapInPandas(
+        return pages.select("doc_id", "url", "html").mapInArrow(
             fn, schema=EXTRACT_SCHEMA_WITH_ID)
-    return pages.select("url", "html").mapInPandas(fn, schema=EXTRACT_SCHEMA)
+    return pages.select("url", "html").mapInArrow(fn, schema=EXTRACT_SCHEMA)
 
 
 def tokens_from_docs(docs: DataFrame) -> DataFrame:
@@ -98,11 +99,16 @@ def tokens_from_docs(docs: DataFrame) -> DataFrame:
     scoring a pure column expression downstream — no docs join at query time.
     """
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
         lex = lexicon_dict()  # built once per worker, cached at module level
-        for pdf in batches:
+        for rb in batches:
+            doc_id_a = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
+            site_a = rb.column(rb.schema.get_field_index("site")).to_pylist()
+            text_a = rb.column(rb.schema.get_field_index("text")).to_pylist()
             doc_ids, sites, terms, tfs, dls = [], [], [], [], []
-            for doc_id, site, text in zip(pdf["doc_id"], pdf["site"], pdf["text"]):
+            for doc_id, site, text in zip(doc_id_a, site_a, text_a):
                 counts = split_to_lemmas(text, lex)
                 dl = sum(counts.values())
                 for term, tf in counts.items():
@@ -111,15 +117,13 @@ def tokens_from_docs(docs: DataFrame) -> DataFrame:
                     terms.append(term)
                     tfs.append(tf)
                     dls.append(dl)
-            yield pd.DataFrame({
-                "doc_id": pd.array(doc_ids, dtype="int64"),
-                "site": sites,
-                "term": terms,
-                "tf": pd.array(tfs, dtype="int32"),
-                "dl": pd.array(dls, dtype="int32"),
-            })
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, pa.int64()), pa.array(sites, pa.string()),
+                 pa.array(terms, pa.string()), pa.array(tfs, pa.int32()),
+                 pa.array(dls, pa.int32())],
+                ["doc_id", "site", "term", "tf", "dl"])
 
-    return docs.select("doc_id", "site", "text").mapInPandas(fn, schema=TOKENS_SCHEMA)
+    return docs.select("doc_id", "site", "text").mapInArrow(fn, schema=TOKENS_SCHEMA)
 
 
 def doc_lengths(docs_with_text: DataFrame) -> DataFrame:

@@ -46,6 +46,11 @@ from ..config import EngineConfig
 
 
 def varint_encode(values: Iterable[int]) -> bytes:
+    values = list(values)
+    # fast path: every value fits one varint byte (the common case for
+    # delta gaps and tfs) — a raw bytes() copy, no per-element loop
+    if values and 0 <= min(values) and max(values) < 0x80:
+        return bytes(values)
     out = bytearray()
     for v in values:
         if v < 0:
@@ -137,12 +142,21 @@ BLOCKS_SCHEMA = StructType([
 
 
 def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
-                 cfg: EngineConfig) -> DataFrame:
+                 cfg: EngineConfig, n_partitions: int | None = None) -> DataFrame:
     """postings(term, doc_id, tf, dl) -> compressed block rows.
 
     head_terms: terms with df > cfg.salt_df_threshold (collected driver-side
     from the `terms` stage — a handful of stopwords even at web scale; goes
     out as a broadcast-able isin literal).
+
+    Physical plan: ONE sort-shuffle on (term, shard) co-locates and orders
+    each posting run, then a streaming `mapInArrow` encoder cuts blocks at
+    run boundaries — no per-group pandas materialization (an early
+    applyInPandas version spent more time building per-term DataFrames than
+    encoding). A run that spans an Arrow batch boundary simply yields an
+    extra (smaller) block — blocks of one run stay disjoint and
+    doc-ordered, which is all the WAND reader requires (it orders by
+    (shard, doc_min), never by block_id).
     """
     block_size = cfg.block_size
     shard_docs = cfg.salt_shard_docs
@@ -154,43 +168,65 @@ def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
         .otherwise(F.lit(0))
     )
 
-    def encode_group(pdf):
-        import pandas as pd
+    def encode_stream(batches):
+        import pyarrow as pa
 
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        shard_v = int(pdf["shard"].iloc[0])
-        doc_ids = pdf["doc_id"].astype("int64").tolist()
-        tfs = pdf["tf"].astype("int64").tolist()
-        dls = pdf["dl"].astype("int64").tolist()
-        rows = []
-        for bi in range(0, len(doc_ids), block_size):
-            d = doc_ids[bi:bi + block_size]
-            t = tfs[bi:bi + block_size]
-            l = dls[bi:bi + block_size]
-            docs_bin, tfs_bin, dls_bin = encode_posting_block(d, t, l)
-            rows.append({
-                "term": term,
-                "shard": shard_v,
-                "block_id": bi // block_size,
-                "n": len(d),
-                "doc_min": d[0],
-                "doc_max": d[-1],
-                "max_tf": max(t),
-                "max_tfpart": max(
-                    bm25_tfpart(tf_i, dl_i, avgdl, k1, b)
-                    for tf_i, dl_i in zip(t, l)
-                ),
-                "docs_bin": docs_bin,
-                "tfs_bin": tfs_bin,
-                "dls_bin": dls_bin,
-            })
-        return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+        names = [f.name for f in BLOCKS_SCHEMA.fields]
+        for rb in batches:
+            idx = {n: rb.schema.get_field_index(n) for n in
+                   ("term", "shard", "doc_id", "tf", "dl")}
+            terms = rb.column(idx["term"]).to_pylist()
+            shards = rb.column(idx["shard"]).to_pylist()
+            doc_ids = rb.column(idx["doc_id"]).to_pylist()
+            tfs = rb.column(idx["tf"]).to_pylist()
+            dls = rb.column(idx["dl"]).to_pylist()
+            out = {n: [] for n in names}
+            i, n_rows = 0, len(terms)
+            while i < n_rows:
+                term, sh = terms[i], shards[i]
+                j = i
+                while j < n_rows and terms[j] == term and shards[j] == sh:
+                    j += 1
+                bi = 0
+                for s in range(i, j, block_size):
+                    e = min(s + block_size, j)
+                    d, t, l = doc_ids[s:e], tfs[s:e], dls[s:e]
+                    docs_bin, tfs_bin, dls_bin = encode_posting_block(d, t, l)
+                    out["term"].append(term)
+                    out["shard"].append(sh)
+                    out["block_id"].append(bi)
+                    out["n"].append(e - s)
+                    out["doc_min"].append(d[0])
+                    out["doc_max"].append(d[-1])
+                    out["max_tf"].append(max(t))
+                    out["max_tfpart"].append(max(
+                        bm25_tfpart(tf_i, dl_i, avgdl, k1, b)
+                        for tf_i, dl_i in zip(t, l)))
+                    out["docs_bin"].append(docs_bin)
+                    out["tfs_bin"].append(tfs_bin)
+                    out["dls_bin"].append(dls_bin)
+                    bi += 1
+                i = j
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["term"], pa.string()),
+                 pa.array(out["shard"], pa.int32()),
+                 pa.array(out["block_id"], pa.int32()),
+                 pa.array(out["n"], pa.int32()),
+                 pa.array(out["doc_min"], pa.int64()),
+                 pa.array(out["doc_max"], pa.int64()),
+                 pa.array(out["max_tf"], pa.int32()),
+                 pa.array(out["max_tfpart"], pa.float64()),
+                 pa.array(out["docs_bin"], pa.binary()),
+                 pa.array(out["tfs_bin"], pa.binary()),
+                 pa.array(out["dls_bin"], pa.binary())],
+                names)
 
+    n_parts = n_partitions or cfg.term_buckets
     return (
         postings
         .select("term", "doc_id", "tf", "dl")
         .withColumn("shard", shard)
-        .groupBy("term", "shard")
-        .applyInPandas(encode_group, schema=BLOCKS_SCHEMA)
+        .repartition(n_parts, "term", "shard")
+        .sortWithinPartitions("term", "shard", "doc_id")
+        .mapInArrow(encode_stream, schema=BLOCKS_SCHEMA)
     )

@@ -45,6 +45,11 @@ class SearchEngine:
             self._query_engine = QueryEngine(self.spark, self.io, self.cfg)
         return self._query_engine
 
+    def warm(self) -> "SearchEngine":
+        """Serving mode: pin query-side tables in executor memory."""
+        self.query_engine.warm()
+        return self
+
     def search(self, query: str, limit: int | None = None, offset: int = 0,
                site: str | None = None, relevance_mode: str = "bm25",
                with_snippets: bool = True, strategy: str = "exact",

@@ -178,7 +178,7 @@ class IndexBuilder:
             build_blocks(postings, head, float(stats["avgdl"]) or 1.0, cfg)
             .withColumn("term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))
             .repartition(cfg.term_buckets, "term_bucket")
-            .sortWithinPartitions("term", "shard", "block_id")
+            .sortWithinPartitions("term", "shard", "doc_min")
         )
         return self.io.write_stage(
             blocks, "blocks", partition_by=["term_bucket"],

@@ -44,6 +44,28 @@ class QueryEngine:
         self.io = io
         self.cfg = cfg or EngineConfig()
         self.stats = io.read_meta("stats")
+        self._warm: dict[str, object] = {}
+
+    # --- serving mode ----------------------------------------------------
+
+    def warm(self) -> "QueryEngine":
+        """Pin the query-side tables in executor memory (serving mode — the
+        cluster analog of a resident index: postings/terms/blocks/docs stay
+        cached across queries; MEMORY_AND_DISK so oversized indexes spill
+        instead of failing)."""
+        from pyspark import StorageLevel
+
+        for t in ("postings", "terms", "blocks", "docs"):
+            try:
+                df = self.io.read(t).persist(StorageLevel.MEMORY_AND_DISK)
+                df.count()  # materialize now, not on first query
+                self._warm[t] = df
+            except Exception:
+                continue  # table absent (e.g. blocks not built) — skip
+        return self
+
+    def _table(self, name: str):
+        return self._warm.get(name) or self.io.read(name)
 
     # --- query analysis (driver-side; tiny data) ------------------------
 
@@ -54,7 +76,7 @@ class QueryEngine:
         if not lemmas:
             return []
         buckets = sorted({self._bucket(t) for t in lemmas})
-        terms = self.io.read("terms")
+        terms = self._table("terms")
         rows = (terms
                 .filter(F.col("term_bucket").isin(buckets))  # partition prune
                 .filter(F.col("term").isin(lemmas))
@@ -84,7 +106,7 @@ class QueryEngine:
         qt = self.spark.createDataFrame(
             [(t["term"], t["idf"]) for t in terms], "term string, idf double")
 
-        postings = self.io.read("postings")
+        postings = self._table("postings")
         q = (postings
              .filter(F.col("term_bucket").isin(buckets))
              .filter(F.col("term").isin([t["term"] for t in terms]))
@@ -134,10 +156,11 @@ class QueryEngine:
         if use_wand:
             from .wand import wand_topk
             topk = wand_topk(self.spark, self.io, self.cfg, terms,
-                             k=limit, offset=offset)
+                             k=limit, offset=offset,
+                             blocks_df=self._warm.get("blocks"))
             if count_mode == "exact":
                 count = self.candidates_df(terms, site, relevance_mode).count()
-            docs = self.io.read("docs")
+            docs = self._table("docs")
             hits = (docs.join(F.broadcast(topk), "doc_id")
                         .select("doc_id", "url", "site", "title", "text", "score")
                         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -161,7 +184,7 @@ class QueryEngine:
                 topk = (cand_final
                         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                         .offset(offset).limit(limit))
-                docs = self.io.read("docs")
+                docs = self._table("docs")
                 hits = (docs.join(F.broadcast(topk), "doc_id")
                             .select("doc_id", "url", "site", "title", "text", "score")
                             .orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -98,7 +98,7 @@ def _wand_task(pdf, *, term_order: list[str], idf: dict[str, float],
         # rarest-first intersection with block skipping
         cand: dict[int, float] | None = None
         for t in term_order:
-            gg = per_term[t].sort_values(["shard", "block_id"])
+            gg = per_term[t].sort_values(["shard", "doc_min"])
             if cand is not None:
                 if not cand:
                     break
@@ -137,9 +137,11 @@ def _wand_task(pdf, *, term_order: list[str], idf: dict[str, float],
 
 def wand_topk(spark, io, cfg: EngineConfig, terms: list[dict],
               k: int, offset: int = 0,
-              n_tasks: int | None = None) -> DataFrame:
+              n_tasks: int | None = None,
+              blocks_df: DataFrame | None = None) -> DataFrame:
     """terms: analyze() output [{term, df, idf}] rarest-first.
-    Returns DataFrame(doc_id, score) of the global top-(offset+k)."""
+    Returns DataFrame(doc_id, score) of the global top-(offset+k).
+    blocks_df: optionally a pre-warmed (cached) blocks frame."""
     stats = io.read_meta("stats")
     avgdl = float(stats["avgdl"]) or 1.0
     kprime = offset + k
@@ -152,7 +154,7 @@ def wand_topk(spark, io, cfg: EngineConfig, terms: list[dict],
                       for t in term_order})
 
     blocks = (
-        io.read("blocks")
+        (blocks_df if blocks_df is not None else io.read("blocks"))
         .filter(F.col("term_bucket").isin(buckets))   # partition prune
         .filter(F.col("term").isin(term_order))
     )

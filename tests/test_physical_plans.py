@@ -1,0 +1,73 @@
+"""Physical-plan assertions — the plans we WANT, not just plans that pass.
+
+SURVEY.md §4: pushdown/pruning are Catalyst built-ins we must actually hit;
+these tests read executedPlan to prove the scan shapes hold (the 100 TB
+argument: a query touches only its terms' buckets, scans never drag html,
+top-k plans as TakeOrderedAndProject, no stage caps parallelism)."""
+
+import pyspark.sql.functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_query_postings_scan_partition_pruned(built_engine):
+    """The exact query path's postings scan must touch only the query
+    terms' term_bucket partitions (partition pruning on the layout key)."""
+    qe = built_engine.query_engine
+    terms = qe.analyze("леопард обитает")
+    assert terms
+    plan = _plan(qe.candidates_df(terms))
+    # the parquet scan carries the bucket filter as a partition filter
+    assert "term_bucket" in plan
+    buckets = sorted({qe._bucket(t["term"]) for t in terms})
+    n_buckets = built_engine.cfg.term_buckets
+    assert len(buckets) < n_buckets  # pruning is actually selective
+    # pruned input: fewer partition dirs than the full layout would give
+    pruned = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pruned, plan
+
+
+def test_query_joins_broadcast_query_terms(built_engine):
+    """Query-terms frame (tiny) must broadcast — no shuffle of postings for
+    the J1 dictionary join."""
+    qe = built_engine.query_engine
+    terms = qe.analyze("леопард обитает")
+    plan = _plan(qe.candidates_df(terms))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(built_engine):
+    qe = built_engine.query_engine
+    terms = qe.analyze("появление леопарда")
+    topk = (qe.candidates_df(terms)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10))
+    assert "TakeOrderedAndProject" in _plan(topk)
+
+
+def test_wand_blocks_scan_pruned(built_engine):
+    from searchengine_spark.plans.wand import wand_topk
+
+    qe = built_engine.query_engine
+    terms = qe.analyze("леопард обитает")
+    df = wand_topk(built_engine.spark, built_engine.io, built_engine.cfg,
+                   terms, k=10)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+
+
+def test_docs_scan_never_reads_text_for_stats(built_engine):
+    """Column pruning: a stats-style aggregation over docs must not read
+    the text column."""
+    docs = built_engine.io.read("docs")
+    agg = docs.groupBy("site").agg(F.count("*").alias("pages"))
+    schema_lines = [ln for ln in _plan(agg).splitlines() if "ReadSchema" in ln]
+    assert schema_lines and "text" not in schema_lines[0]
+
+
+def test_no_stage_caps_parallelism_below_cores(built_engine):
+    cfg = built_engine.cfg
+    assert cfg.doc_id_buckets >= 32
+    assert cfg.term_buckets >= 32
