@@ -40,7 +40,6 @@ EXTRACT_SCHEMA_WITH_ID = StructType(
 
 TOKENS_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
-    StructField("site", StringType(), False),
     StructField("term", StringType(), False),
     StructField("tf", IntegerType(), False),
     StructField("dl", IntegerType(), False),
@@ -91,13 +90,16 @@ def extract_docs(pages: DataFrame) -> DataFrame:
 
 
 def tokens_from_docs(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, site, text) -> (doc_id, site, term, tf, dl).
+    """docs(doc_id, text) -> (doc_id, term, tf, dl).
 
     tf is aggregated inside the batch (per-document Counter) so the shuffle
     that follows (term repartition / groupBy) moves one row per (doc, term),
     never one row per token occurrence. dl (=Σtf) rides along to make BM25
-    scoring a pure column expression downstream — no docs join at query time.
-    """
+    scoring a pure column expression downstream — no docs join at query
+    time. Deliberately NO site column: a repeated host string through the
+    doc→term shuffle is ~40% of the shuffle bytes at web scale; the
+    site-filtered query path (J4) semi-joins candidates against docs
+    instead (plans/query.py)."""
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
@@ -105,25 +107,23 @@ def tokens_from_docs(docs: DataFrame) -> DataFrame:
         lex = lexicon_dict()  # built once per worker, cached at module level
         for rb in batches:
             doc_id_a = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
-            site_a = rb.column(rb.schema.get_field_index("site")).to_pylist()
             text_a = rb.column(rb.schema.get_field_index("text")).to_pylist()
-            doc_ids, sites, terms, tfs, dls = [], [], [], [], []
-            for doc_id, site, text in zip(doc_id_a, site_a, text_a):
+            doc_ids, terms, tfs, dls = [], [], [], []
+            for doc_id, text in zip(doc_id_a, text_a):
                 counts = split_to_lemmas(text, lex)
                 dl = sum(counts.values())
                 for term, tf in counts.items():
                     doc_ids.append(doc_id)
-                    sites.append(site)
                     terms.append(term)
                     tfs.append(tf)
                     dls.append(dl)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(doc_ids, pa.int64()), pa.array(sites, pa.string()),
+                [pa.array(doc_ids, pa.int64()),
                  pa.array(terms, pa.string()), pa.array(tfs, pa.int32()),
                  pa.array(dls, pa.int32())],
-                ["doc_id", "site", "term", "tf", "dl"])
+                ["doc_id", "term", "tf", "dl"])
 
-    return docs.select("doc_id", "site", "text").mapInArrow(fn, schema=TOKENS_SCHEMA)
+    return docs.select("doc_id", "text").mapInArrow(fn, schema=TOKENS_SCHEMA)
 
 
 def doc_lengths(docs_with_text: DataFrame) -> DataFrame:

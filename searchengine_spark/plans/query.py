@@ -120,11 +120,16 @@ class QueryEngine:
             score = F.col("tf").cast("double")
         agg = (q.withColumn("s", score)
                 .groupBy("doc_id")
-                .agg(F.count("*").alias("nt"), F.sum("s").alias("score"),
-                     F.first("site").alias("site"))
+                .agg(F.count("*").alias("nt"), F.sum("s").alias("score"))
                 .filter(F.col("nt") == F.lit(len(terms))))
         if site is not None:
-            agg = agg.filter(F.col("site") == F.lit(site))
+            # J4: postings deliberately carry no site column (shuffle-width
+            # trade-off, udfs.tokens_from_docs) — semi-join candidates
+            # against the (cached, column-pruned) docs table instead
+            site_docs = (self._table("docs")
+                         .filter(F.col("site") == F.lit(site))
+                         .select("doc_id"))
+            agg = agg.join(site_docs, "doc_id", "left_semi")
         return agg.select("doc_id", "score")
 
     # --- public search ----------------------------------------------------

@@ -19,8 +19,12 @@ def statistics(io: TableIO) -> dict:
 
     pages = {r["site"]: r["pages"] for r in
              docs.groupBy("site").agg(F.count("*").alias("pages")).collect()}
+    # postings carry no site (shuffle-width trade-off) — join the compact
+    # (doc_id, site) projection of docs to attribute terms to sites
+    doc_sites = docs.select("doc_id", "site")
     lemmas = {r["site"]: r["lemmas"] for r in
-              postings.groupBy("site")
+              postings.join(doc_sites, "doc_id")
+              .groupBy("site")
               .agg(F.count_distinct("term").alias("lemmas")).collect()}
 
     detailed = [
