@@ -89,13 +89,14 @@ def minhash_signatures(df: DataFrame, k: int = 4, text_col: str = "text",
     Hash family: md5(j || ':' || term), minimum taken as string order —
     deterministic and reproducible in ANSI SQL for the oracle."""
     t = tokens(df, text_col, id_col).select("doc_id", "term").distinct()
-    sigs = None
-    for j in range(k):
-        s = t.groupBy("doc_id").agg(
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("term")))).alias("minhash")
-        ).withColumn("hash_id", F.lit(j))
-        sigs = s if sigs is None else sigs.unionByName(s)
-    return sigs.select("doc_id", "hash_id", "minhash")
+    # all k minhashes in ONE aggregation pass (k agg columns), then an
+    # unpivot — tokenize/distinct/shuffle happen once, not k times
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("term")))).alias(f"h{j}")
+            for j in range(k)]
+    wide = t.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{j}, h{j}" for j in range(k))
+    return wide.selectExpr(
+        "doc_id", f"stack({k}, {stack}) as (hash_id, minhash)")
 
 
 def minhash_candidate_pairs(df: DataFrame, k: int = 4, text_col: str = "text",
