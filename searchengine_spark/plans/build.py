@@ -138,12 +138,14 @@ class IndexBuilder:
 
     def _stage_stats(self):
         t0 = time.monotonic()
-        postings = self.io.read("postings")
         # row counts already recorded in the stage manifests (parquet
-        # footers) — no extra count job
+        # footers) — no extra count job; corpus totals come from the tiny
+        # terms table (Σcf = total tokens, Σdf = posting count), not a
+        # re-scan of the postings fact table
         n_docs = self.io.read_manifest("docs")["rows"]
-        agg = postings.agg(F.sum("tf").alias("total_tokens"),
-                           F.count("*").alias("n_postings")).collect()[0]
+        terms = self.io.read("terms")
+        agg = terms.agg(F.sum("cf").alias("total_tokens"),
+                        F.sum("df").alias("n_postings")).collect()[0]
         total_tokens = int(agg["total_tokens"] or 0)
         n_postings = int(agg["n_postings"] or 0)
         stats = {
