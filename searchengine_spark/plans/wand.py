@@ -146,7 +146,11 @@ def wand_topk(spark, io, cfg: EngineConfig, terms: list[dict],
     avgdl = float(stats["avgdl"]) or 1.0
     kprime = offset + k
     n_tasks = n_tasks or spark.sparkContext.defaultParallelism
-    range_w = cfg.salt_shard_docs
+    # range width must match the shard width the index was BUILT with (the
+    # alignment guarantee) — prefer the blocks manifest over current cfg
+    manifest = io.read_manifest("blocks") or {}
+    range_w = int(manifest.get("extra", {}).get("salt_shard_docs",
+                                                cfg.salt_shard_docs))
 
     term_order = [t["term"] for t in terms]
     idf = {t["term"]: t["idf"] for t in terms}
