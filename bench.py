@@ -89,7 +89,7 @@ def bench_index_build(spark, tmp: str, n_docs: int = 2000) -> dict:
     build_s = time.monotonic() - t0
 
     qe = QueryEngine(spark, io, cfg).warm()  # serving mode
-    lat, lat_wand = [], []
+    lat, lat_wand, lat_driver = [], [], []
     for q in reference_queries():
         t0 = time.monotonic()
         r = qe.search(q["query"], limit=q["k"], offset=q["offset"],
@@ -100,6 +100,11 @@ def bench_index_build(spark, tmp: str, n_docs: int = 2000) -> dict:
             qe.search(q["query"], limit=q["k"], offset=q["offset"],
                       strategy="wand", count_mode="none", with_snippets=False)
             lat_wand.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+            qe.search(q["query"], limit=q["k"], offset=q["offset"],
+                      strategy="driver", count_mode="none",
+                      with_snippets=False)
+            lat_driver.append(time.monotonic() - t0)
 
     def p95(xs):
         xs = sorted(xs)
@@ -110,6 +115,7 @@ def bench_index_build(spark, tmp: str, n_docs: int = 2000) -> dict:
         "build_docs_per_sec": round(n_docs / build_s, 2),
         "query_p95_sec": p95(lat),
         "query_p95_wand_sec": p95(lat_wand),
+        "query_p95_driver_sec": p95(lat_driver),
         "n_queries": len(lat),
         "n_docs": n_docs,
     }

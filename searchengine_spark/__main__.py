@@ -110,7 +110,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--limit", type=int, default=10)
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--site", default=None)
-    s.add_argument("--strategy", choices=["exact", "wand"], default="exact")
+    s.add_argument("--strategy", choices=["exact", "wand", "driver"],
+                   default="exact")
     s.add_argument("--no-snippets", action="store_true")
     s.set_defaults(fn=cmd_search)
 

@@ -140,10 +140,14 @@ class QueryEngine:
                count_mode: str = "exact") -> dict:
         """Full response, shape-identical to oracle.search.
 
-        strategy="exact": one-shuffle hash-agg path (always available).
-        strategy="wand":  block-max WAND over compressed posting blocks
-                          (plans/wand.py) — bm25 mode, no site filter
-                          (site-filtered queries fall back to exact).
+        strategy="exact":  one-shuffle hash-agg path (always available).
+        strategy="wand":   block-max WAND over compressed posting blocks
+                           (plans/wand.py) — bm25 mode, no site filter
+                           (site-filtered queries fall back to exact).
+        strategy="driver": serve the query straight from the columnar index
+                           files with pyarrow — NO Spark job; millisecond
+                           path for interactive serving (plans/serve.py).
+                           bm25, no site filter; falls back to exact.
         count_mode="none" skips the total-match count (count is inherently a
         full-intersection job; WAND's point is NOT doing that work)."""
         limit = limit if limit is not None else self.cfg.default_limit
@@ -151,6 +155,12 @@ class QueryEngine:
             return {"result": False, "error": ERR_EMPTY}
         if not is_query_valid(query):
             return {"result": False, "error": ERR_NOT_RUSSIAN}
+
+        if (strategy == "driver" and site is None
+                and relevance_mode == "bm25"):
+            return self._search_driver(query, limit, offset, with_snippets,
+                                       count_mode)
+
         terms = self.analyze(query)
         if not terms:
             return {"result": False, "error": ERR_NOT_FOUND}
@@ -211,5 +221,37 @@ class QueryEngine:
             if with_snippets:
                 # snippet over k rows only; same code path as the oracle
                 row["snippet"] = build_snippet(r["text"], list(qlemmas_master))
+            data.append(row)
+        return {"result": True, "count": count, "data": data}
+
+    # --- driver-side serving path (plans/serve.py) ------------------------
+
+    def _search_driver(self, query: str, limit: int, offset: int,
+                       with_snippets: bool, count_mode: str) -> dict:
+        from . import serve
+
+        lemmas = list(split_to_lemmas(query))
+        if not lemmas:
+            return {"result": False, "error": ERR_NOT_FOUND}
+        terms = serve.lookup_terms(self.io, self.cfg, lemmas,
+                                   self.stats["n_docs"])
+        if not terms:
+            return {"result": False, "error": ERR_NOT_FOUND}
+        topk = serve.driver_topk(self.io, self.cfg, terms, k=limit,
+                                 offset=offset)
+        if not topk:
+            return {"result": False, "error": ERR_NOT_FOUND}
+        count = (serve.driver_count_candidates(self.io, self.cfg, terms)
+                 if count_mode == "exact" else len(topk))
+        docs = serve.fetch_docs(self.io, [d for d, _ in topk])
+        qlemmas = [t["term"] for t in terms]
+        data = []
+        for rank, (d, s) in enumerate(topk, start=offset + 1):
+            doc = docs[d]
+            row = {"rank": rank, "doc_id": d, "site": doc["site"],
+                   "uri": doc["url"], "title": doc["title"],
+                   "score": float(s)}
+            if with_snippets:
+                row["snippet"] = build_snippet(doc["text"], list(qlemmas))
             data.append(row)
         return {"result": True, "count": count, "data": data}

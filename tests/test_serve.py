@@ -1,0 +1,58 @@
+"""Driver-side serving path (plans/serve.py): full response parity with the
+exact Spark path and the oracle on the reference query set, plus a latency
+sanity check (no Spark job => orders of magnitude under job-launch floors)."""
+
+import time
+
+import pytest
+
+from searchengine_spark import oracle as O
+
+
+def test_driver_matches_oracle_full_queryset(built_engine, oracle_index):
+    from searchengine_spark.sources.queryset import reference_queries
+
+    checked = 0
+    for q in reference_queries():
+        if q["site"] is not None:
+            continue  # driver path defers site-filtered queries to exact
+        want = O.search(oracle_index, q["query"], limit=q["k"],
+                        offset=q["offset"])
+        got = built_engine.search(q["query"], limit=q["k"],
+                                  offset=q["offset"], strategy="driver")
+        assert got["result"] == want["result"], q["query"]
+        if not want["result"]:
+            assert got["error"] == want["error"]
+            continue
+        assert got["count"] == want["count"]
+        for g, w in zip(got["data"], want["data"]):
+            assert g["doc_id"] == w["doc_id"]
+            assert g["score"] == pytest.approx(w["score"], abs=1e-6)
+            assert g["uri"] == w["uri"] and g["title"] == w["title"]
+            assert g["snippet"] == w["snippet"]
+        checked += 1
+    assert checked >= 15
+
+
+def test_driver_latency_no_spark_job(built_engine):
+    """After one warm call, serving must be well under the ~100 ms Spark
+    job floor — proof no job is launched."""
+    built_engine.search("леопард обитает", strategy="driver",
+                        with_snippets=False)  # warm file handles / dataset
+    t0 = time.monotonic()
+    r = built_engine.search("леопард обитает", strategy="driver",
+                            with_snippets=False)
+    dt = time.monotonic() - t0
+    assert r["result"]
+    assert dt < 0.3, f"driver path took {dt:.3f}s — is it launching jobs?"
+
+
+def test_driver_pagination(built_engine):
+    full = built_engine.search("появление леопарда", limit=30,
+                               strategy="driver", with_snippets=False)
+    if not full["result"] or len(full["data"]) <= 10:
+        pytest.skip("not enough hits for pagination check")
+    page = built_engine.search("появление леопарда", limit=10, offset=10,
+                               strategy="driver", with_snippets=False)
+    assert [h["doc_id"] for h in page["data"]] == \
+           [h["doc_id"] for h in full["data"][10:20]]
