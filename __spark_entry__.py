@@ -159,6 +159,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.cosine_neardup_pairs(_emb(spark, sf), dim=EMB_DIM,
                                         n_planes=N_PLANES, threshold=0.9)
 
+    def q_ivf_assign(spark, sf):
+        return sim.ivf_assign(_emb(spark, sf), dim=EMB_DIM)
+
+    def q_ivf_ann(spark, sf):
+        qv = _query_vec(spark, sf)
+        return sim.ivf_ann_topk(_emb(spark, sf), qv, k=ANN_K, exclude_id=0)
+
     # text analysis family
     def q_quality_scores(spark, sf):
         return ts.quality_scores(_docs(spark, sf))
@@ -193,6 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "lsh_buckets": q_lsh_buckets,
         "lsh_ann": q_lsh_ann,
+        "ivf_assign": q_ivf_assign,
+        "ivf_ann": q_ivf_ann,
         "media_metadata": q_media_metadata,
         "frame_counts": q_frame_counts,
         "audio_durations": q_audio_durations,
@@ -240,6 +249,30 @@ def _hyperplane_sql_literal(j: int, dim: int) -> str:
     from searchengine_spark.operators.similarity import hyperplane
 
     return "[" + ", ".join(repr(x) for x in hyperplane(j, dim)) + "]::DOUBLE[]"
+
+
+def _ivf_centroid_literal(c: int, dim: int) -> str:
+    from searchengine_spark.operators.similarity import ivf_centroid
+
+    return "[" + ", ".join(repr(x) for x in ivf_centroid(c, dim)) + "]::DOUBLE[]"
+
+
+def _ivf_score_expr(vec_expr: str, c: int, dim: int) -> str:
+    from searchengine_spark.operators.similarity import ivf_centroid
+
+    half = sum(x * x for x in ivf_centroid(c, dim)) / 2.0
+    return f"(list_dot_product({vec_expr}, {_ivf_centroid_literal(c, dim)}) - {half!r})"
+
+
+def _ivf_assign_expr(vec_expr: str, dim: int, n_cent: int = 4) -> str:
+    """argmax centroid via a CASE chain mirroring the Spark when-chain
+    (strict > comparisons in the same order => identical tie behavior)."""
+    best, best_s = "0", _ivf_score_expr(vec_expr, 0, dim)
+    for c in range(1, n_cent):
+        s = _ivf_score_expr(vec_expr, c, dim)
+        best = f"(CASE WHEN {s} > {best_s} THEN {c} ELSE {best} END)"
+        best_s = f"(CASE WHEN {s} > {best_s} THEN {s} ELSE {best_s} END)"
+    return best
 
 
 def _lsh_bucket_expr(vec_expr: str, dim: int, n_planes: int) -> str:
@@ -394,6 +427,25 @@ s AS (SELECT vec_id,
           / (sqrt(list_dot_product(ve, ve)) * (SELECT sqrt(list_dot_product(qe, qe)) FROM q))
           AS cos
       FROM bucketed WHERE bucket = (SELECT b FROM qb) AND vec_id <> 0)
+SELECT vec_id, round(cos, 6) AS cos FROM s
+ORDER BY cos DESC, vec_id ASC LIMIT {ANN_K}""",
+        "ivf_assign": f"""
+SELECT vec_id,
+       CAST({_ivf_assign_expr('embedding::DOUBLE[]', EMB_DIM)} AS INT) AS centroid
+FROM embeddings""",
+        "ivf_ann": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+qc AS (SELECT {_ivf_assign_expr('(SELECT qe FROM q)', EMB_DIM)} AS c),
+lst AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve,
+         {_ivf_assign_expr('embedding::DOUBLE[]', EMB_DIM)} AS centroid
+  FROM embeddings
+),
+s AS (SELECT vec_id,
+        list_dot_product(ve, (SELECT qe FROM q))
+          / (sqrt(list_dot_product(ve, ve)) * (SELECT sqrt(list_dot_product(qe, qe)) FROM q))
+          AS cos
+      FROM lst WHERE centroid = (SELECT c FROM qc) AND vec_id <> 0)
 SELECT vec_id, round(cos, 6) AS cos FROM s
 ORDER BY cos DESC, vec_id ASC LIMIT {ANN_K}""",
         "media_metadata": """

@@ -89,6 +89,67 @@ def lsh_bucket_of(query_vec: list[float], n_planes: int = N_HYPERPLANES) -> int:
     return b
 
 
+N_CENTROIDS = 4
+
+
+def ivf_centroid(c: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random coarse centroid c (IVF quantizer).
+    Same integer-arithmetic recipe as hyperplane() with a distinct phase so
+    the oracle SQL can embed identical literals; a production build would
+    train these with k-means — the routing/partitioning plan is the same."""
+    return [(((c * dim + i) * _LCG + 7919 * (c + 1)) % 1000) / 1000.0 - 0.5
+            for i in range(dim)]
+
+
+def _centroid_score(vec_col, cent: list[float]):
+    """argmax over c of (v·c - ||c||²/2)  ==  nearest centroid by L2."""
+    half_norm = sum(x * x for x in cent) / 2.0
+    return _dot(vec_col, cent) - F.lit(half_norm)
+
+
+def ivf_assign(df: DataFrame, dim: int, n_centroids: int = N_CENTROIDS,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, centroid) — coarse assignment; at scale `centroid` is the
+    partition key so an ANN probe scans one inverted list, IVF-style."""
+    scores = [_centroid_score(F.col(vec_col), ivf_centroid(c, dim))
+              for c in range(n_centroids)]
+    best = F.lit(0)
+    best_s = scores[0]
+    for c in range(1, n_centroids):
+        cond = scores[c] > best_s
+        best = F.when(cond, F.lit(c)).otherwise(best)
+        best_s = F.when(cond, scores[c]).otherwise(best_s)
+    return df.select(F.col(id_col).alias("vec_id"),
+                     best.cast("int").alias("centroid"))
+
+
+def ivf_centroid_of(query_vec: list[float],
+                    n_centroids: int = N_CENTROIDS) -> int:
+    dim = len(query_vec)
+    best_c, best_s = 0, None
+    for c in range(n_centroids):
+        cent = ivf_centroid(c, dim)
+        s = sum(x * y for x, y in zip(query_vec, cent)) \
+            - sum(x * x for x in cent) / 2.0
+        if best_s is None or s > best_s:
+            best_c, best_s = c, s
+    return best_c
+
+
+def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 n_centroids: int = N_CENTROIDS, vec_col: str = "embedding",
+                 id_col: str = "vec_id", exclude_id=None) -> DataFrame:
+    """ANN: brute-force cosine restricted to the query's IVF list
+    (single-probe; multi-probe = union of the nearest lists)."""
+    dim = len(query_vec)
+    qc = ivf_centroid_of(query_vec, n_centroids)
+    members = (ivf_assign(df, dim, n_centroids, vec_col, id_col)
+               .filter(F.col("centroid") == F.lit(qc))
+               .select(F.col("vec_id").alias("_m")))
+    in_list = df.join(members, F.col(id_col) == F.col("_m"), "left_semi")
+    return cosine_topk(in_list, query_vec, k, vec_col, id_col, exclude_id)
+
+
 def cosine_neardup_pairs(df: DataFrame, dim: int,
                          n_planes: int = N_HYPERPLANES,
                          threshold: float = 0.9,
