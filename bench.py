@@ -88,7 +88,8 @@ def bench_index_build(spark, tmp: str, n_docs: int = 2000) -> dict:
     IndexBuilder(spark, io, cfg).build(pages)
     build_s = time.monotonic() - t0
 
-    qe = QueryEngine(spark, io, cfg).warm()  # serving mode
+    qe = QueryEngine(spark, io, cfg)
+    qe.warm()  # serving mode
     lat, lat_wand, lat_driver = [], [], []
     for q in reference_queries():
         t0 = time.monotonic()

@@ -153,10 +153,10 @@ def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
     each posting run, then a streaming `mapInArrow` encoder cuts blocks at
     run boundaries — no per-group pandas materialization (an early
     applyInPandas version spent more time building per-term DataFrames than
-    encoding). A run that spans an Arrow batch boundary simply yields an
-    extra (smaller) block — blocks of one run stay disjoint and
-    doc-ordered, which is all the WAND reader requires (it orders by
-    (shard, doc_min), never by block_id).
+    encoding). A run that spans an Arrow batch boundary yields an extra
+    (smaller) block, but the block counter carries across batches, so
+    (term, shard, block_id) is unique and block_id follows global posting
+    order within the run. (WAND itself orders by (shard, doc_min).)
     """
     block_size = cfg.block_size
     shard_docs = cfg.salt_shard_docs
@@ -172,6 +172,11 @@ def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
         import pyarrow as pa
 
         names = [f.name for f in BLOCKS_SCHEMA.fields]
+        # carry the block counter across Arrow batch boundaries so block_id
+        # is globally sequential within each (term, shard) run — (term,
+        # shard, block_id) stays unique and ordered even when a run spans
+        # batches (batches arrive in partition order, so this is sound)
+        carry_term, carry_shard, carry_bi = None, None, 0
         for rb in batches:
             idx = {n: rb.schema.get_field_index(n) for n in
                    ("term", "shard", "doc_id", "tf", "dl")}
@@ -187,7 +192,7 @@ def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
                 j = i
                 while j < n_rows and terms[j] == term and shards[j] == sh:
                     j += 1
-                bi = 0
+                bi = carry_bi if (term == carry_term and sh == carry_shard) else 0
                 for s in range(i, j, block_size):
                     e = min(s + block_size, j)
                     d, t, l = doc_ids[s:e], tfs[s:e], dls[s:e]
@@ -206,6 +211,7 @@ def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
                     out["tfs_bin"].append(tfs_bin)
                     out["dls_bin"].append(dls_bin)
                     bi += 1
+                carry_term, carry_shard, carry_bi = term, sh, bi
                 i = j
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out["term"], pa.string()),

@@ -40,29 +40,38 @@ ERR_NOT_FOUND = "Указанная страница не найдена"
 
 class QueryEngine:
     def __init__(self, spark, io: TableIO, cfg: EngineConfig | None = None):
+        from ..sources.tableio import resolve_layout
+
         self.spark = spark
         self.io = io
-        self.cfg = cfg or EngineConfig()
+        # layout params (term_buckets, shard width, block size) come from
+        # the index's own manifests, NOT live config — an index built under
+        # a different cfg must stay readable (cfg is the fresh-build default)
+        self.cfg = resolve_layout(io, cfg or EngineConfig())
         self.stats = io.read_meta("stats")
         self._warm: dict[str, object] = {}
 
     # --- serving mode ----------------------------------------------------
 
-    def warm(self) -> "QueryEngine":
+    def warm(self) -> list[str]:
         """Pin the query-side tables in executor memory (serving mode — the
         cluster analog of a resident index: postings/terms/blocks/docs stay
         cached across queries; MEMORY_AND_DISK so oversized indexes spill
-        instead of failing)."""
+        instead of failing). Returns the list of tables actually pinned;
+        an absent table (e.g. blocks not built) is skipped, but a corrupt
+        or partially-written one raises — serving must not silently degrade
+        to cold per-query reads."""
         from pyspark import StorageLevel
 
+        pinned: list[str] = []
         for t in ("postings", "terms", "blocks", "docs"):
-            try:
-                df = self.io.read(t).persist(StorageLevel.MEMORY_AND_DISK)
-                df.count()  # materialize now, not on first query
-                self._warm[t] = df
-            except Exception:
-                continue  # table absent (e.g. blocks not built) — skip
-        return self
+            if not self.io.exists(t):
+                continue  # the one expected absence: table never built
+            df = self.io.read(t).persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()  # materialize now, not on first query
+            self._warm[t] = df
+            pinned.append(t)
+        return pinned
 
     def _table(self, name: str):
         return self._warm.get(name) or self.io.read(name)
@@ -181,7 +190,13 @@ class QueryEngine:
                         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                         .collect())
             if not hits:
-                return {"result": False, "error": ERR_NOT_FOUND}
+                # response-shape parity with the exact path: offset past the
+                # last hit of a matching query is result=True + empty data,
+                # only a truly empty candidate set is ERR_NOT_FOUND
+                if count is None:
+                    count = self.candidates_df(terms, site, relevance_mode).count()
+                if count == 0:
+                    return {"result": False, "error": ERR_NOT_FOUND}
             if count is None:
                 count = len(hits)
         else:
@@ -240,7 +255,11 @@ class QueryEngine:
         topk = serve.driver_topk(self.io, self.cfg, terms, k=limit,
                                  offset=offset)
         if not topk:
-            return {"result": False, "error": ERR_NOT_FOUND}
+            # shape parity with the exact path (see wand branch in search())
+            count = serve.driver_count_candidates(self.io, self.cfg, terms)
+            if count == 0:
+                return {"result": False, "error": ERR_NOT_FOUND}
+            return {"result": True, "count": count, "data": []}
         count = (serve.driver_count_candidates(self.io, self.cfg, terms)
                  if count_mode == "exact" else len(topk))
         docs = serve.fetch_docs(self.io, [d for d, _ in topk])

@@ -152,3 +152,29 @@ class TableIO:
     def read_meta(self, name: str) -> dict:
         with open(os.path.join(self.work_dir, f"{name}.json")) as f:
             return json.load(f)
+
+
+def resolve_layout(io: TableIO, cfg):
+    """Return cfg overridden with the layout parameters the index was
+    actually BUILT with, read from the stage manifests (postings: term
+    bucket count; blocks: head-term shard width and block size).
+
+    Every query path must derive partition-prune buckets from the on-disk
+    layout, not from live config: an index built with term_buckets=16 read
+    under cfg term_buckets=64 would hash every term to the wrong partition
+    and silently return no rows. Config is only the fallback when no
+    manifest exists (fresh build)."""
+    import dataclasses
+
+    over = {}
+    pm = io.read_manifest("postings")
+    if pm and "term_buckets" in pm.get("extra", {}):
+        over["term_buckets"] = int(pm["extra"]["term_buckets"])
+    bm = io.read_manifest("blocks")
+    if bm:
+        extra = bm.get("extra", {})
+        if "salt_shard_docs" in extra:
+            over["salt_shard_docs"] = int(extra["salt_shard_docs"])
+        if "block_size" in extra:
+            over["block_size"] = int(extra["block_size"])
+    return dataclasses.replace(cfg, **over) if over else cfg

@@ -1,0 +1,122 @@
+"""Regression tests for layout-parameter resolution and response-shape
+parity across query strategies.
+
+An index carries its own layout (term bucket count, head-term shard width,
+block size) in the stage manifests; query paths must read THAT, not live
+config — an index built with term_buckets=8 queried under a cfg that says
+64 would prune to the wrong partitions and silently return nothing.
+"""
+
+import shutil
+
+import pytest
+
+from searchengine_spark.config import EngineConfig
+from searchengine_spark.plans.api import SearchEngine
+from searchengine_spark.plans.query import QueryEngine
+from searchengine_spark.sources.corpus import gen_pages_spark
+from searchengine_spark.sources.tableio import TableIO, resolve_layout
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def small_bucket_engine(spark, tmp_path_factory):
+    """Index built with a deliberately non-default layout."""
+    work = str(tmp_path_factory.mktemp("layout_work"))
+    cfg = EngineConfig(term_buckets=8, block_size=32)
+    eng = SearchEngine(spark, work, cfg)
+    eng.build_index(gen_pages_spark(spark, N_DOCS, partitions=4))
+    yield eng, work
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def _a_query(eng) -> str:
+    # pick a term guaranteed indexed: highest-df non-stopword
+    from pyspark.sql import functions as F
+
+    terms = eng.io.read("terms")
+    n = eng.query_engine.stats["n_docs"]
+    row = (terms.filter(F.col("df") / F.lit(float(n)) <= 0.95)
+                .orderBy(F.col("df").desc(), F.col("term"))
+                .select("term").first())
+    return row["term"]
+
+
+def test_resolve_layout_prefers_manifest(spark, small_bucket_engine):
+    eng, work = small_bucket_engine
+    io = TableIO(spark, work)
+    resolved = resolve_layout(io, EngineConfig())  # default cfg says 64
+    assert resolved.term_buckets == 8
+    assert resolved.block_size == 32
+
+
+def test_resolve_layout_falls_back_to_cfg(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path / "empty"))
+    cfg = EngineConfig(term_buckets=16)
+    assert resolve_layout(io, cfg).term_buckets == 16
+
+
+def test_query_engine_reads_foreign_layout_index(spark, small_bucket_engine):
+    """QueryEngine built under DEFAULT cfg must still answer over the
+    8-bucket index (exact, wand, and driver strategies)."""
+    eng, work = small_bucket_engine
+    io = TableIO(spark, work)
+    qe = QueryEngine(spark, io)  # no cfg: defaults say term_buckets=64
+    assert qe.cfg.term_buckets == 8
+    q = _a_query(eng)
+    for strategy in ("exact", "wand", "driver"):
+        r = qe.search(q, limit=5, strategy=strategy)
+        assert r["result"] is True, (strategy, r)
+        assert r["count"] > 0 and len(r["data"]) > 0
+
+
+def test_offset_past_end_shape_parity(small_bucket_engine):
+    """All strategies must agree on the offset-past-last-hit response:
+    result=True, full count, empty data (not ERR_NOT_FOUND)."""
+    eng, _ = small_bucket_engine
+    q = _a_query(eng)
+    base = eng.search(q, limit=5, strategy="exact")
+    assert base["result"] is True and base["count"] > 0
+    far = base["count"] + 100
+    responses = {s: eng.search(q, limit=5, offset=far, strategy=s)
+                 for s in ("exact", "wand", "driver")}
+    for s, r in responses.items():
+        assert r["result"] is True, (s, r)
+        assert r["count"] == base["count"], (s, r)
+        assert r["data"] == [], (s, r)
+
+
+def test_warm_returns_pinned_tables(spark, small_bucket_engine):
+    eng, work = small_bucket_engine
+    qe = QueryEngine(spark, TableIO(spark, work))
+    pinned = qe.warm()
+    assert set(pinned) == {"postings", "terms", "blocks", "docs"}
+
+
+def test_block_id_sequential_across_batches(spark, small_bucket_engine):
+    """(term, shard, block_id) must be unique with block_id dense from 0
+    even when a posting run spans Arrow batch boundaries."""
+    from pyspark.sql import functions as F
+
+    eng, work = small_bucket_engine
+    io = TableIO(spark, work)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        # tiny batches force every long run to span many batches
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+        from searchengine_spark.operators.postings import build_blocks
+
+        cfg = eng.cfg
+        postings = io.read("postings")
+        blocks = build_blocks(postings, [], 10.0, cfg).select(
+            "term", "shard", "block_id").collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    seen: dict[tuple, list[int]] = {}
+    for r in blocks:
+        seen.setdefault((r["term"], r["shard"]), []).append(r["block_id"])
+    assert len(blocks) == sum(len(v) for v in seen.values())
+    for key, ids in seen.items():
+        assert sorted(ids) == list(range(len(ids))), (key, sorted(ids)[:5])
