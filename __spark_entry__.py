@@ -29,7 +29,9 @@ Q_RARE_FIRST = ["key", "hash", "dup", "table"]
 STOP_RATIO = 0.78
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.5
-MINHASH_K = 4
+MAX_SHINGLE_DF = 400          # quadratic-pair guard: drop shingles in >400 docs
+MINHASH_K = 12
+MINHASH_BANDS = 4             # b=4 bands of r=3 rows: P(cand)=1-(1-s^3)^4
 KNN_K = 10
 ANN_K = 5
 EMB_DIM = 64
@@ -117,10 +119,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_dedup_jaccard_pairs(spark, sf):
         sh = dedup.shingles(_docs(spark, sf), n=JACCARD_N)
-        return dedup.jaccard_pairs(sh, threshold=JACCARD_THRESHOLD)
+        return dedup.jaccard_pairs(sh, threshold=JACCARD_THRESHOLD,
+                                   max_shingle_df=MAX_SHINGLE_DF)
 
     def q_dedup_minhash_pairs(spark, sf):
-        return dedup.minhash_candidate_pairs(_docs(spark, sf), k=MINHASH_K)
+        return dedup.minhash_neardup_pairs(
+            _docs(spark, sf), k=MINHASH_K, bands=MINHASH_BANDS,
+            n=JACCARD_N, threshold=JACCARD_THRESHOLD)
 
     def q_dedup_simhash(spark, sf):
         return ts.simhash16(ts.term_frequencies(_docs(spark, sf)))
@@ -226,6 +231,52 @@ tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
 """
 
 _STOPLIST_SQL = "('the','a','an','of','to','in','and','is','on','for')"
+
+# distinct word-3-gram shingles per doc (mirrors dedup.shingles(n=3))
+_TRI = """
+tokp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+),
+tri0 AS (
+  SELECT doc_id,
+    term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS sh
+  FROM tokp WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+),
+tri AS (SELECT DISTINCT doc_id, sh FROM tri0 WHERE sh IS NOT NULL)
+"""
+
+
+def _minhash_neardup_sql(k: int | None = None, bands: int | None = None,
+                         threshold: float | None = None) -> str:
+    """Banded MinHash-LSH near-dup pairs over 3-gram shingles, mirroring
+    dedup.minhash_neardup_pairs: b bands × r rows, exact-Jaccard verify."""
+    k = k if k is not None else MINHASH_K
+    bands = bands if bands is not None else MINHASH_BANDS
+    threshold = threshold if threshold is not None else JACCARD_THRESHOLD
+    r = k // bands
+    hs = ", ".join(
+        f"min(md5('{j}:' || sh)) AS h{j}" for j in range(k))
+    band_sigs = ", ".join(
+        "md5(" + " || '|' || ".join(f"h{b * r + j}" for j in range(r)) + f") AS s{b}"
+        for b in range(bands))
+    band_eq = " OR ".join(f"a.s{b} = b.s{b}" for b in range(bands))
+    return f"""
+WITH {_TRI},
+sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+wide AS (SELECT doc_id, {hs} FROM tri GROUP BY doc_id),
+bs AS (SELECT doc_id, {band_sigs} FROM wide),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM bs a JOIN bs b ON a.doc_id < b.doc_id AND ({band_eq})),
+common AS (SELECT c.da, c.db, count(*) AS cm
+           FROM cand c JOIN tri a ON a.doc_id = c.da
+                       JOIN tri b ON b.doc_id = c.db AND b.sh = a.sh
+           GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(cm * 1.0 / (sa.n + sb.n - cm), 6) AS jaccard
+FROM common JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+WHERE cm * 1.0 / (sa.n + sb.n - cm) >= {threshold}"""
 
 
 def _in_list(terms: list[str]) -> str:
@@ -368,37 +419,20 @@ FROM documents""",
         "dedup_keep_first": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
         "dedup_jaccard_pairs": f"""
-WITH tokp AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-         generate_subscripts(string_split(text, ' '), 1) AS ord
-  FROM documents
-),
-tri0 AS (
-  SELECT doc_id,
-    term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS sh
-  FROM tokp WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-),
-tri AS (SELECT DISTINCT doc_id, sh FROM tri0 WHERE sh IS NOT NULL),
-sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+WITH {_TRI},
+trig AS (SELECT doc_id, sh FROM tri
+         QUALIFY count(*) OVER (PARTITION BY sh) <= {MAX_SHINGLE_DF}),
+sz AS (SELECT doc_id, count(*) AS n FROM trig GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM trig a JOIN trig b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
        round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
 FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}""",
-        "dedup_minhash_pairs": f"""
-WITH {_TOK},
-d AS (SELECT DISTINCT doc_id, term FROM tokf),
-js AS (SELECT unnest(range(0, {MINHASH_K})) AS j),
-sigs AS (
-  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || term)) AS mh
-  FROM d CROSS JOIN js GROUP BY doc_id, j
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sigs a JOIN sigs b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id""",
+        "dedup_minhash_pairs": _minhash_neardup_sql(),
         "dedup_simhash": _simhash_sql(),
         "knn_cosine": f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

@@ -4,13 +4,14 @@ MinHash-LSH, SimHash (see textstats.simhash16).
 All pure DataFrame ops. Scale notes:
 - exact dedup: one groupBy on the content hash — the hash (16 bytes) is the
   shuffle key, never the text
-- shingle self-joins: the join key is the shingle string; at 100 TB replace
-  with (a) md5(shingle) keys (fixed width) and (b) a frequency cap dropping
-  ubiquitous shingles before the self-join (they generate quadratic pairs
-  and carry no dedup signal) — `max_shingle_df` below
-- MinHash: k independent hash functions simulated as md5(j || ':' || term);
-  banding = per-hash bucket join (band size 1), candidate pairs verified by
-  true Jaccard downstream if `verify` is set
+- shingle self-joins: joined on a fixed-width xxhash64 of the shingle (not
+  the raw string) by default, with a frequency cap (`max_shingle_df`)
+  dropping ubiquitous shingles before the self-join — they generate
+  quadratic pairs and carry no dedup signal
+- MinHash-LSH: k hash functions md5(j || ':' || shingle), b bands of
+  r = k/b rows each; a candidate pair must agree on ALL r minhashes of
+  some band (S-curve selectivity), then exact shingle Jaccard verifies —
+  candidates stay O(near-duplicates), never O(n²)
 """
 
 from __future__ import annotations
@@ -55,13 +56,20 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
-                  max_shingle_df: int | None = None) -> DataFrame:
+                  max_shingle_df: int | None = None,
+                  hashed_keys: bool = True) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
 
     Self-join on shingle -> common counts -> |A∪B| = |A|+|B|-common.
     max_shingle_df drops shingles shared by more than that many docs before
     the join (quadratic-pair guard for head shingles at scale).
+    hashed_keys joins on xxhash64(sh) instead of the raw shingle string —
+    fixed 8-byte shuffle keys; a collision would need ~2^32 distinct
+    shingles per partition-pair to matter (negligible below 10^9 docs;
+    switch to a 128-bit digest beyond).
     """
+    if hashed_keys:
+        sh = sh.select("doc_id", F.xxhash64("sh").alias("sh"))
     if max_shingle_df is not None:
         hot = (sh.groupBy("sh").agg(F.count("*").alias("sdf"))
                  .filter(F.col("sdf") > max_shingle_df).select("sh"))
@@ -83,28 +91,71 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
             .select("doc_a", "doc_b", "jaccard"))
 
 
-def minhash_signatures(df: DataFrame, k: int = 4, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, hash_id, minhash) — k MinHashes over the token set.
-    Hash family: md5(j || ':' || term), minimum taken as string order —
-    deterministic and reproducible in ANSI SQL for the oracle."""
-    t = tokens(df, text_col, id_col).select("doc_id", "term").distinct()
-    # all k minhashes in ONE aggregation pass (k agg columns), then an
-    # unpivot — tokenize/distinct/shuffle happen once, not k times
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("term")))).alias(f"h{j}")
-            for j in range(k)]
-    wide = t.groupBy("doc_id").agg(*aggs)
-    stack = ", ".join(f"{j}, h{j}" for j in range(k))
+def minhash_band_signatures(sh: DataFrame, k: int = 12,
+                            bands: int = 4) -> DataFrame:
+    """(doc_id, n_sh, band, sig) — b×r MinHash-LSH band signatures over a
+    (doc_id, sh) shingle frame, r = k // bands minhashes per band.
+
+    Hash family j: md5(j || ':' || sh), the minimum taken in string order —
+    deterministic and reproducible in ANSI SQL for the oracle. All k
+    minhashes AND the shingle-set size come out of ONE aggregation pass
+    (k+1 agg columns); a band's signature is the md5 of its r concatenated
+    minhashes, so two docs collide on a band only when all r agree — the
+    classic S-curve P(cand) = 1-(1-s^r)^b, not the degenerate single-hash
+    collision (which at r=1 pairs nearly everything sharing one min)."""
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    r = k // bands
+    aggs = [F.count("*").cast("long").alias("n_sh")] + [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
+        for j in range(k)]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    sig_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)]))
+        .alias(f"s{b}")
+        for b in range(bands)]
+    wide = wide.select("doc_id", "n_sh", *sig_cols)
+    stack = ", ".join(f"{b}, s{b}" for b in range(bands))
     return wide.selectExpr(
-        "doc_id", f"stack({k}, {stack}) as (hash_id, minhash)")
+        "doc_id", "n_sh", f"stack({bands}, {stack}) as (band, sig)")
 
 
-def minhash_candidate_pairs(df: DataFrame, k: int = 4, text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
-    """LSH candidate pairs: docs sharing any of the k minhash band values."""
-    sigs = minhash_signatures(df, k, text_col, id_col)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), "hash_id", "minhash")
-    b = sigs.select(F.col("doc_id").alias("doc_b"), "hash_id", "minhash")
-    return (a.join(b, ["hash_id", "minhash"])
+def minhash_neardup_pairs(df: DataFrame, k: int = 12, bands: int = 4,
+                          n: int = 3, threshold: float = 0.5,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, jaccard) — MinHash-LSH near-duplicate pairs.
+
+    Pipeline: word n-gram shingles -> b×r banded minhash signatures ->
+    candidate pairs = docs equal on (band, sig) [the ONLY self-join; its
+    key is a 32-char digest, cardinality O(near-dups), never O(n²)] ->
+    exact shingle-set Jaccard verification >= threshold.
+
+    Scale notes: the band join's fan-out is bounded by real near-dup
+    clusters (plus the vanishing 1-(1-s^r)^b tail), so output stays linear
+    in duplicates; at 100 TB the shingle frame feeding this would be
+    materialized once (it is re-derived per use here, fine below ~10^7
+    docs) and exact duplicates pre-collapsed via exact_keep_first so giant
+    identical clusters don't quadratically inflate candidate pairs."""
+    sh = shingles(df, n, text_col, id_col)
+    sigs = minhash_band_signatures(sh, k, bands)
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("n_sh").alias("na"), "band", "sig")
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("n_sh").alias("nb"), "band", "sig")
+    cand = (a.join(b, ["band", "sig"])
              .filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b").distinct())
+             .select("doc_a", "doc_b", "na", "nb").distinct())
+    # exact verification: |A ∩ B| via two joins against the shingle frame,
+    # restricted to candidates (cand is small — near-dups only)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+                  .groupBy("doc_a", "doc_b", "na", "nb")
+                  .agg(F.count("*").alias("common")))
+    return (common
+            .withColumn("jaccard",
+                        F.round(F.col("common")
+                                / (F.col("na") + F.col("nb") - F.col("common")), 6))
+            .filter(F.col("jaccard") >= F.lit(threshold))
+            .select("doc_a", "doc_b", "jaccard"))
