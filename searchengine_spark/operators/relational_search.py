@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import doc_frequencies, term_frequencies
+from .textstats import doc_frequencies, term_frequencies, tokens
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -34,11 +34,14 @@ def corpus_stats(docs: DataFrame, text_col: str = "text",
 
 def stopword_terms(docs: DataFrame, ratio: float, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
-    """Terms with df/N > ratio (O2 generalized; reference ratio 0.95)."""
+    """Terms with df/N > ratio (O2 generalized; reference ratio 0.95).
+    N is folded into the same job via a broadcast single-row aggregate —
+    no separate driver-side count() action."""
     tf = term_frequencies(docs, text_col, id_col)
     dfreq = doc_frequencies(tf)
-    n = docs.count()
-    return (dfreq.filter(F.col("df") / F.lit(float(n)) > F.lit(ratio))
+    nrow = docs.agg(F.count("*").cast("double").alias("_n"))
+    return (dfreq.crossJoin(F.broadcast(nrow))
+                 .filter(F.col("df") / F.col("_n") > F.lit(ratio))
                  .select("term", "df").orderBy("term"))
 
 
@@ -83,27 +86,50 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
               offset: int = 0, k1: float = BM25_K1, b: float = BM25_B,
               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """BM25 top-k with AND semantics over a whitespace corpus (the flagship
-    relational form of the engine's query plan; scores rounded to 6dp)."""
-    tf = term_frequencies(docs, text_col, id_col)
+    relational form of the engine's query plan; scores rounded to 6dp).
+
+    Two token scans total (vs the naive tf/dl/df/score lineage re-derived
+    per branch):
+      scalar pass — per-doc (dl, has_term_i) narrow agg -> one global row
+        (avgdl, df_i per query term), collected (|Q|+1 scalars);
+      ranking pass — per-doc (dl, tf_i per query term) in ONE groupBy over
+        the token stream (agg state = |Q|+1 counters per doc, far narrower
+        than a (doc_id, term)-wide shuffle), AND filter, BM25 as a pure
+        column expression, orderBy+limit => TakeOrderedAndProject.
+    N (all docs, incl. token-less) is a column-pruned count of `docs`."""
+    import math
+
+    tok = tokens(docs, text_col, id_col)
     n = docs.count()
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0] or 1.0
-    dfreq = doc_frequencies(tf).filter(F.col("term").isin(query_terms))
-    idf = dfreq.select(
-        "term",
-        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5)
-              / (F.col("df") + 0.5)).alias("idf"),
-    )
-    q = (tf.filter(F.col("term").isin(query_terms))
-           .join(F.broadcast(idf), "term")
-           .join(dl, "doc_id"))
-    score = (F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
-             / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
-                + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))))
-    agg = (q.withColumn("s", score)
-            .groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("nt"), F.sum("s").alias("score"))
-            .filter(F.col("nt") == F.lit(len(query_terms))))
-    return (agg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-               .offset(offset).limit(k)
-               .select("doc_id", F.round("score", 6).alias("score")))
+
+    scal = (tok.groupBy("doc_id")
+               .agg(F.count("*").alias("dl"),
+                    *[F.max((F.col("term") == F.lit(t)).cast("int"))
+                      .alias(f"h{i}") for i, t in enumerate(query_terms)])
+               .agg(F.avg("dl").alias("avgdl"),
+                    *[F.sum(f"h{i}").cast("double").alias(f"df{i}")
+                      for i in range(len(query_terms))])
+               .collect()[0])
+    avgdl = float(scal["avgdl"] or 1.0)
+    idf = [math.log(1.0 + (n - float(scal[f"df{i}"] or 0.0) + 0.5)
+                    / (float(scal[f"df{i}"] or 0.0) + 0.5))
+           for i in range(len(query_terms))]
+
+    per_doc = (tok.groupBy("doc_id")
+                  .agg(F.count("*").cast("double").alias("dl"),
+                       *[F.sum((F.col("term") == F.lit(t)).cast("long"))
+                         .cast("double").alias(f"tf{i}")
+                         for i, t in enumerate(query_terms)]))
+    matched = per_doc
+    for i in range(len(query_terms)):
+        matched = matched.filter(F.col(f"tf{i}") > 0)
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    score = None
+    for i in range(len(query_terms)):
+        part = (F.lit(idf[i]) * F.col(f"tf{i}") * F.lit(k1 + 1.0)
+                / (F.col(f"tf{i}") + norm))
+        score = part if score is None else score + part
+    return (matched.select("doc_id", score.alias("score"))
+                   .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                   .offset(offset).limit(k)
+                   .select("doc_id", F.round("score", 6).alias("score")))
