@@ -26,6 +26,11 @@ class EngineConfig:
     # postings layout: term-hash buckets (partition pruning at query time);
     # also the write parallelism of the postings/blocks stages
     term_buckets: int = 64
+    # tokenize+lemmatize stage implementation: "sql" = pure Catalyst
+    # (regexp split + broadcast lexicon join; zero Python in the build hot
+    # path), "python" = vectorized mapInArrow calling the oracle's code
+    # (bit-for-bit the reference semantics; equivalence is test-enforced)
+    tokenizer: str = "sql"
     # defaults mirrored from the reference UI
     default_limit: int = 10  # templates/index.html:128
     snippet_window: int = 20  # SnippetSearch.java:25

@@ -126,6 +126,53 @@ def tokens_from_docs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInArrow(fn, schema=TOKENS_SCHEMA)
 
 
+def lexicon_df(spark) -> DataFrame:
+    """The in-repo lemmatization dictionary as a (surface, lemma) frame,
+    function words (МЕЖД/ПРЕДЛ/СОЮЗ, LemmaSearch.java:22) pre-dropped so a
+    single inner join implements both E3 (lemmatize, unknown => skip) and
+    E4 (function-word filter). ~10k rows / ~200 KB — broadcast-side."""
+    from .lexicon import FUNCTION_POS, lexicon_dict
+
+    rows = [(s, e[0]) for s, e in lexicon_dict().items()
+            if e[1] not in FUNCTION_POS]
+    return spark.createDataFrame(rows, "surface string, lemma string")
+
+
+def tokens_from_docs_sql(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) -> (doc_id, term, tf, dl): the all-Catalyst twin
+    of tokens_from_docs — zero Python in the hot path.
+
+    Tokenization is the reference regex (LemmaSearch.java:35-36) as native
+    expressions: lower -> regexp_replace('[^а-я\\s]','') -> trim -> split
+    on \\s+ -> explode. Lemmatization+function-word filtering is an inner
+    BROADCAST JOIN against lexicon_df (replacing the per-token Python dict
+    lookup — the memory-bandwidth hog of the build at high parallelism).
+    tf is a hash aggregate; dl rides along via a window sum so downstream
+    stays join-free, exactly like the Python path.
+
+    Equivalence caveat (tested, test_spark_build): identical to
+    tokens_from_docs for any text whose whitespace is ASCII — always true
+    for extract_docs output, which collapses all Unicode whitespace to
+    ' ' (Java \\s is ASCII-only; Python \\s is not)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    lex = F.broadcast(lexicon_df(spark))
+    toks = (docs
+            .select("doc_id",
+                    F.explode(F.split(
+                        F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                                "[^а-я\\s]", "")),
+                        "\\s+")).alias("surface"))
+            .filter(F.col("surface") != ""))
+    tf = (toks.join(lex, "surface")
+              .groupBy("doc_id", "lemma")
+              .agg(F.count("*").cast("int").alias("tf")))
+    dl = F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
+    return tf.select("doc_id", F.col("lemma").alias("term"), "tf",
+                     dl.alias("dl"))
+
+
 def doc_lengths(docs_with_text: DataFrame) -> DataFrame:
     """(doc_id, dl) without emitting token rows — used by stats-only paths."""
 

@@ -188,6 +188,10 @@ def search(idx: OracleIndex, query: str, limit: int = DEFAULT_LIMIT,
             "rank": rank,
             "doc_id": d,
             "site": doc["site"],
+            # SearchData.siteName (SearchServiceImpl.java:61-62): the
+            # configured display name; our input table has no site registry,
+            # so the host doubles as the name (documented W4 mapping)
+            "site_name": doc["site"],
             "uri": doc["url"],
             "title": doc["title"],
             "score": s,

@@ -1,14 +1,23 @@
 """Public engine facade — the Spark-native equivalents of the reference's
 five REST endpoints (controllers/ApiController.java:28-52):
 
-  C1 startIndexing  -> SearchEngine.build_index(pages_df)
-  C2 stopIndexing   -> job cancellation + manifest marks (resume per stage)
+  C1 startIndexing  -> SearchEngine.build_index(pages_df) (sync) or
+                       start_indexing(pages_df) (async; refuses if running,
+                       IndexingServiceImpl.getStartResponse :42-51)
+  C2 stopIndexing   -> stop_indexing(): cancel the build's Spark job group,
+                       mark in-flight stage aborted + status FAILED
+                       "Индексация остановлена пользователем"
+                       (IndexingServiceImpl.getStopResponse :53-78);
+                       build_index(resume=True) restarts from the last
+                       completed stage
   C3 indexPage      -> SearchEngine.upsert_docs(changed_pages_df)
   C4 search         -> SearchEngine.search(query, limit, offset, site)
   C5 statistics     -> SearchEngine.statistics()
 """
 
 from __future__ import annotations
+
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -18,8 +27,14 @@ from .build import IndexBuilder
 from .query import QueryEngine
 from .statistics import statistics as _statistics
 
+ERR_ALREADY_RUNNING = "Индексация уже запущена"
+ERR_NOT_RUNNING = "Индексация не запущена"
+STOP_MESSAGE = "Индексация остановлена пользователем"
+
 
 class SearchEngine:
+    _JOB_GROUP = "searchengine-build"
+
     def __init__(self, spark: SparkSession, work_dir: str,
                  cfg: EngineConfig | None = None):
         from ..sources.deploy import ship_package
@@ -29,6 +44,9 @@ class SearchEngine:
         self.cfg = cfg or EngineConfig()
         self.io = TableIO(spark, work_dir)
         self._query_engine: QueryEngine | None = None
+        self._build_thread: threading.Thread | None = None
+        self._build_error: BaseException | None = None
+        self._stop_requested = False
 
     # --- build (C1) ------------------------------------------------------
 
@@ -36,6 +54,65 @@ class SearchEngine:
         report = IndexBuilder(self.spark, self.io, self.cfg).build(pages, resume=resume)
         self._query_engine = None  # stats changed; rebuild lazily
         return report
+
+    def is_indexing(self) -> bool:
+        return self._build_thread is not None and self._build_thread.is_alive()
+
+    def start_indexing(self, pages: DataFrame, resume: bool = False) -> dict:
+        """Async C1: launch the build under a cancellable Spark job group.
+        Requires pinned-thread mode (PySpark default) so the job group is
+        scoped to the build thread only."""
+        if self.is_indexing():
+            return {"result": False, "error": ERR_ALREADY_RUNNING}
+        self._build_error = None
+        self._stop_requested = False
+        self._stop_event = threading.Event()
+        builder = IndexBuilder(self.spark, self.io, self.cfg,
+                               stop_event=self._stop_event)
+
+        def run():
+            sc = self.spark.sparkContext
+            sc.setJobGroup(self._JOB_GROUP, "index build",
+                           interruptOnCancel=True)
+            try:
+                builder.build(pages, resume=resume)
+                self._query_engine = None  # stats changed; rebuild lazily
+            except BaseException as exc:
+                self._build_error = exc
+
+        from pyspark import InheritableThread
+
+        self._build_thread = InheritableThread(target=run, daemon=True)
+        self._build_thread.start()
+        return {"result": True}
+
+    # --- stop (C2) --------------------------------------------------------
+
+    def stop_indexing(self, timeout: float = 120.0) -> dict:
+        """Cancel the running build. The interrupted stage's manifest is
+        marked aborted (IndexBuilder.build's except path) and build_status
+        becomes FAILED with the user-stop message; completed stages keep
+        their manifests, so build_index(resume=True) continues from the
+        checkpoint."""
+        if not self.is_indexing():
+            return {"result": False, "error": ERR_NOT_RUNNING}
+        self._stop_requested = True
+        self._stop_event.set()  # stops between stages (no job to cancel)
+        self.spark.sparkContext.cancelJobGroup(self._JOB_GROUP)
+        self._build_thread.join(timeout=timeout)
+        if self._build_thread.is_alive():
+            return {"result": False, "error": "stop timed out"}
+        if self._build_error is None:
+            # the build finished before the cancellation landed — status is
+            # INDEXED and correct; report the reference's not-running error
+            return {"result": False, "error": ERR_NOT_RUNNING}
+        # overwrite the builder's generic FAILED error with the reference's
+        # user-stop message (IndexingServiceImpl.java:69-75)
+        builder = IndexBuilder(self.spark, self.io, self.cfg)
+        status = self.io.read_meta("build_status")
+        builder.write_status("FAILED", stage=status.get("stage"),
+                             error=STOP_MESSAGE)
+        return {"result": True}
 
     # --- query (C4) ------------------------------------------------------
 

@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import EngineConfig
-from ..functions.udfs import extract_docs, tokens_from_docs, url_bucket_col
+from ..functions.udfs import (extract_docs, tokens_from_docs,
+                              tokens_from_docs_sql, url_bucket_col)
 from ..operators.doc_ids import attach_doc_ids, compute_bucket_offsets
 from ..sources.tableio import TableIO
 
@@ -47,48 +48,73 @@ def term_bucket_col(term_col, n_buckets: int):
 
 
 class IndexBuilder:
-    def __init__(self, spark, io: TableIO, cfg: EngineConfig | None = None):
+    def __init__(self, spark, io: TableIO, cfg: EngineConfig | None = None,
+                 stop_event=None):
         self.spark = spark
         self.io = io
         self.cfg = cfg or EngineConfig()
+        # cooperative cancellation (C2): job-group cancel kills in-flight
+        # Spark jobs; this event stops the build between stages, where no
+        # job is running to cancel
+        self.stop_event = stop_event
 
     # ------------------------------------------------------------------
 
     def build(self, pages: DataFrame, resume: bool = False) -> dict:
         """Run all stages; with resume=True, completed stages are skipped
-        (checkpoint-restart, north_rule). Returns the stage report dict."""
+        (checkpoint-restart, north_rule). Returns the stage report dict.
+
+        Lifecycle mirrors the reference site status rows
+        (IndexingServiceImpl.java:80-108,165-171): build_status meta is
+        INDEXING (with the in-flight stage) while running, INDEXED on
+        success, FAILED + error on abort/exception — and the interrupted
+        stage gets an `aborted` manifest so resume knows where to restart."""
+        from ..sources.tableio import StageResult
+
         report: dict[str, dict] = {}
         if not resume:
             self.io.invalidate_from(STAGES, STAGES[0])
 
+        stage_fns = {
+            "docs": lambda: self._stage_docs(pages),
+            "postings": self._stage_postings,
+            "terms": self._stage_terms,
+            "stats": self._stage_stats,
+            "blocks": self._stage_blocks,
+        }
         t0 = time.monotonic()
-        if resume and self.io.stage_complete("docs"):
-            report["docs"] = {**self.io.read_manifest("docs"), "skipped": True}
-        else:
-            report["docs"] = self._stage_docs(pages).to_json()
-
-        if resume and self.io.stage_complete("postings"):
-            report["postings"] = {**self.io.read_manifest("postings"), "skipped": True}
-        else:
-            report["postings"] = self._stage_postings().to_json()
-
-        if resume and self.io.stage_complete("terms"):
-            report["terms"] = {**self.io.read_manifest("terms"), "skipped": True}
-        else:
-            report["terms"] = self._stage_terms().to_json()
-
-        if resume and self.io.stage_complete("stats"):
-            report["stats"] = {**self.io.read_manifest("stats"), "skipped": True}
-        else:
-            report["stats"] = self._stage_stats().to_json()
-
-        if resume and self.io.stage_complete("blocks"):
-            report["blocks"] = {**self.io.read_manifest("blocks"), "skipped": True}
-        else:
-            report["blocks"] = self._stage_blocks().to_json()
-
+        current = STAGES[0]
+        self.write_status("INDEXING")
+        try:
+            for s in STAGES:
+                current = s
+                if self.stop_event is not None and self.stop_event.is_set():
+                    raise InterruptedError("build stopped by user")
+                if resume and self.io.stage_complete(s):
+                    report[s] = {**self.io.read_manifest(s), "skipped": True}
+                    continue
+                self.write_status("INDEXING", stage=s)
+                report[s] = stage_fns[s]().to_json()
+        except BaseException as exc:  # incl. job-group cancellation
+            msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
+            self.io.write_manifest(StageResult(
+                stage=current, status="aborted", rows=0, bytes=0,
+                wall_ms=int((time.monotonic() - t0) * 1000),
+                extra={"error": msg}))
+            self.write_status("FAILED", stage=current, error=msg)
+            raise
+        self.write_status("INDEXED")
         report["_total_wall_ms"] = int((time.monotonic() - t0) * 1000)
         return report
+
+    def write_status(self, status: str, stage: str | None = None,
+                     error: str | None = None) -> None:
+        """Reference Website.status/status_time/last_error analog
+        (model/Website.java:14-35), one record for the whole input table."""
+        self.io.write_meta("build_status", {
+            "status": status, "stage": stage, "error": error,
+            "status_time": int(time.time() * 1000),
+        })
 
     # ------------------------------------------------------------------
 
@@ -108,8 +134,9 @@ class IndexBuilder:
 
     def _stage_postings(self):
         docs = self.io.read("docs")
-        tokens = tokens_from_docs(docs)
         cfg = self.cfg
+        tokens = (tokens_from_docs_sql(docs) if cfg.tokenizer == "sql"
+                  else tokens_from_docs(docs))
         postings = (
             tokens
             .withColumn("term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))

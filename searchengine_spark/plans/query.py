@@ -229,6 +229,7 @@ class QueryEngine:
                 "rank": rank,
                 "doc_id": r["doc_id"],
                 "site": r["site"],
+                "site_name": r["site"],  # W4 siteName (host doubles as name)
                 "uri": r["url"],
                 "title": r["title"],
                 "score": float(r["score"]),
@@ -268,8 +269,8 @@ class QueryEngine:
         for rank, (d, s) in enumerate(topk, start=offset + 1):
             doc = docs[d]
             row = {"rank": rank, "doc_id": d, "site": doc["site"],
-                   "uri": doc["url"], "title": doc["title"],
-                   "score": float(s)}
+                   "site_name": doc["site"], "uri": doc["url"],
+                   "title": doc["title"], "score": float(s)}
             if with_snippets:
                 row["snippet"] = build_snippet(doc["text"], list(qlemmas))
             data.append(row)

@@ -1,9 +1,15 @@
-"""Statistics service (A4/C5) — per-site and total counts.
+"""Statistics service (A4/C5) — per-site and total counts + status surface.
 
 Reference: services/StatisticsServiceImpl.getStatistics (:33-70) walks sites
-issuing a count query per site; here it is one pass with grouping sets
-(cube) over docs + one over postings — per-site rows and the grand total in
-a single shuffle each.
+issuing a count query per site and copies status/error/statusTime from each
+site row (:53-57). Here the counts are one pass each over docs + postings,
+and the status fields come from the build_status meta the builder maintains
+(plans/build.py::IndexBuilder.write_status) — the engine indexes one input
+table, so every site row carries the build's status, exactly as the
+reference marks every configured site from one indexing run. `name`
+mirrors SearchData.siteName; with no site registry in the input table the
+host doubles as the display name. status_time is epoch millis (the
+reference serializes LocalDateTime to epoch millis at :56-57).
 """
 
 from __future__ import annotations
@@ -27,13 +33,23 @@ def statistics(io: TableIO) -> dict:
               .groupBy("site")
               .agg(F.count_distinct("term").alias("lemmas")).collect()}
 
+    try:
+        status = io.read_meta("build_status")
+    except FileNotFoundError:  # pre-status index (built by older code)
+        status = {"status": "INDEXED", "error": None, "status_time": None}
+
     detailed = [
-        {"site": s, "pages": pages[s], "lemmas": int(lemmas.get(s, 0))}
+        {"site": s, "name": s, "pages": pages[s],
+         "lemmas": int(lemmas.get(s, 0)),
+         "status": status.get("status"),
+         "error": status.get("error"),
+         "status_time": status.get("status_time")}
         for s in sorted(pages)
     ]
     total = {
         "sites": len(pages),
         "pages": sum(pages.values()),
         "lemmas": sum(v["lemmas"] for v in detailed),
+        "indexing": status.get("status") == "INDEXING",
     }
     return {"result": True, "statistics": {"total": total, "detailed": detailed}}

@@ -89,3 +89,37 @@ def test_query_validation():
     assert is_query_valid("ёжик Ё")
     assert not is_query_valid("red square")
     assert not is_query_valid("")
+
+
+def test_tokens_sql_path_equals_python_path(spark, fixture_pages):
+    """The all-Catalyst tokenize+lemmatize (broadcast lexicon join) must
+    emit exactly the rows of the vectorized-Python path — same (doc_id,
+    term, tf, dl) multiset — on the fixture corpus plus edge-case docs."""
+    from searchengine_spark.functions.udfs import (tokens_from_docs,
+                                                   tokens_from_docs_sql)
+
+    rows = [(i, p["text"]) for i, p in enumerate(fixture_pages[:80])]
+    rows += [
+        (1001, ""),                             # empty text
+        (1002, "   "),                          # whitespace only
+        (1003, "ёжик 123 hello, мир!"),         # ё/latin/digits all killed
+        (1004, "и или над под ох ой"),          # function words only
+        (1005, "ЛЕОПАРДА  ЛеОпАрД в осетии"),   # case + double space
+        (1006, "неизвестноеслово леопард"),     # unknown word skipped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    py = sorted(map(tuple, tokens_from_docs(docs).collect()))
+    sql = sorted(map(tuple, tokens_from_docs_sql(docs).collect()))
+    assert py == sql
+    assert any(r[1] == "леопард" for r in sql)
+
+
+def test_tokens_sql_plan_is_broadcast_join(spark):
+    """The lemmatize join must plan as a broadcast hash join (the lexicon
+    is ~10k rows) — a shuffle join here would be a scale bug."""
+    from searchengine_spark.functions.udfs import tokens_from_docs_sql
+
+    docs = spark.createDataFrame([(1, "леопард обитает")],
+                                 "doc_id long, text string")
+    plan = tokens_from_docs_sql(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
