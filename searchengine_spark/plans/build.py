@@ -211,6 +211,11 @@ class IndexBuilder:
         )
         return self.io.write_stage(
             blocks, "blocks", partition_by=["term_bucket"],
+            # avgdl is recorded because max_tfpart bakes it in: WAND's
+            # block-max bounds are only tight while the corpus avgdl equals
+            # this value — incremental deltas mark it stale (avgdl=None)
+            # and WAND falls back to the avgdl-free max_tf bound
             extra={"head_terms": head, "block_size": cfg.block_size,
-                   "salt_shard_docs": cfg.salt_shard_docs},
+                   "salt_shard_docs": cfg.salt_shard_docs,
+                   "avgdl": float(stats["avgdl"]) or 1.0},
         )

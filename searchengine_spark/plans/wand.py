@@ -57,7 +57,7 @@ TOPK_SCHEMA = StructType([
 
 def _wand_task(pdf, *, term_order: list[str], idf: dict[str, float],
                avgdl: float, k1: float, b: float, kprime: int,
-               range_w: int):
+               range_w: int, tf_bounds: bool = False):
     """One task: blocks of several doc-ranges -> ≤ kprime (doc_id, score).
 
     Each doc belongs to exactly one range (doc_id // range_w); postings
@@ -77,11 +77,20 @@ def _wand_task(pdf, *, term_order: list[str], idf: dict[str, float],
     by_range: dict[int, pd.DataFrame] = {
         int(r): g for r, g in pdf.groupby("range_id")
     }
-    # range upper bound = Σ_t idf_t · max tfpart_t within the range
+    # range upper bound = Σ_t idf_t · max tfpart_t within the range.
+    # tf_bounds: the stored max_tfpart baked in a different avgdl (index
+    # incrementally updated since the blocks were encoded) — use the sound
+    # avgdl-free cap tfpart <= tf·(k1+1)/(tf + k1·(1-b)) from max_tf
+    # instead (looser, still exact results; tightens again on full rebuild)
+    def term_bound(gg) -> float:
+        if tf_bounds:
+            mt = float(gg["max_tf"].max())
+            return mt * (k1 + 1.0) / (mt + k1 * (1.0 - b))
+        return float(gg["max_tfpart"].max())
+
     uppers: list[tuple[float, int]] = []
     for rid, g in by_range.items():
-        ub = sum(idf[t] * float(gg["max_tfpart"].max())
-                 for t, gg in g.groupby("term"))
+        ub = sum(idf[t] * term_bound(gg) for t, gg in g.groupby("term"))
         uppers.append((ub, rid))
     uppers.sort(reverse=True)
 
@@ -151,6 +160,12 @@ def wand_topk(spark, io, cfg: EngineConfig, terms: list[dict],
     manifest = io.read_manifest("blocks") or {}
     range_w = int(manifest.get("extra", {}).get("salt_shard_docs",
                                                 cfg.salt_shard_docs))
+    # stale block-max detection: max_tfpart is only a valid bound under
+    # the avgdl it was encoded with (see _stage_blocks); None = mixed
+    # (incrementally updated index)
+    blocks_avgdl = manifest.get("extra", {}).get("avgdl")
+    tf_bounds = (blocks_avgdl is None
+                 or abs(float(blocks_avgdl) - avgdl) > 1e-9)
 
     term_order = [t["term"] for t in terms]
     idf = {t["term"]: t["idf"] for t in terms}
@@ -177,7 +192,7 @@ def wand_topk(spark, io, cfg: EngineConfig, terms: list[dict],
     def task(pdf):
         return _wand_task(pdf, term_order=term_order, idf=idf, avgdl=avgdl,
                           k1=cfg.bm25_k1, b=cfg.bm25_b, kprime=kprime,
-                          range_w=range_w)
+                          range_w=range_w, tf_bounds=tf_bounds)
 
     partial = exploded.groupBy("wand_group").applyInPandas(
         task, schema=TOPK_SCHEMA)

@@ -143,6 +143,69 @@ class TableIO:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
+    def overwrite_partitions(self, df: DataFrame, stage: str,
+                             partition_col: str, values: list,
+                             table: str | None = None,
+                             extra_update: dict | None = None) -> StageResult:
+        """Rewrite ONLY the listed partition directories of a partitioned
+        stage table and merge the stage manifest's per-file lineage — the
+        parquet-dir emulation of Iceberg dynamic partition overwrite
+        (spark.sql.sources.partitionOverwriteMode=dynamic / MERGE on
+        touched partitions). df must contain exactly the replacement rows
+        for those partitions (a partition with no rows is dropped).
+
+        The new data is fully written to a side directory BEFORE any
+        target directory is touched, so a df whose lineage reads the
+        target table is safe, and a crash mid-swap loses at most already-
+        replaceable partition dirs (the manifest is rewritten last)."""
+        table = table or stage
+        target = self.path(table)
+        tmp = os.path.join(self.work_dir, f"_tmp_{table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        t0 = time.monotonic()
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        replaced = [f"{partition_col}={v}" for v in values]
+        for sub in replaced:
+            dst = os.path.join(target, sub)
+            src = os.path.join(tmp, sub)
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        old = self.read_manifest(stage) or {
+            "stage": stage, "files": [], "extra": {}, "wall_ms": 0}
+        prefixes = tuple(os.path.join(table, sub) + os.sep for sub in replaced)
+        keep = [f for f in old.get("files", [])
+                if not f["path"].startswith(prefixes)]
+        fresh = []
+        for sub in replaced:
+            d = os.path.join(target, sub)
+            if not os.path.isdir(d):
+                continue
+            for root, _, fs in os.walk(d):
+                for fn in sorted(fs):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(root, fn)
+                    meta = pq.read_metadata(fp)
+                    fresh.append({
+                        "path": os.path.relpath(fp, self.work_dir),
+                        "rows": meta.num_rows,
+                        "bytes": os.path.getsize(fp),
+                    })
+        files = keep + fresh
+        extra = {**old.get("extra", {}), **(extra_update or {})}
+        result = StageResult(
+            stage=stage, status="complete",
+            rows=sum(f["rows"] for f in files),
+            bytes=sum(f["bytes"] for f in files),
+            wall_ms=old.get("wall_ms", 0) + wall_ms,
+            files=files, extra=extra)
+        self.write_manifest(result)
+        return result
+
     # --- scalar metadata (corpus stats etc.) ----------------------------
 
     def write_meta(self, name: str, payload: dict) -> None:
