@@ -32,14 +32,56 @@ JACCARD_THRESHOLD = 0.5
 MAX_SHINGLE_DF = 400          # quadratic-pair guard: drop shingles in >400 docs
 MINHASH_K = 12
 MINHASH_BANDS = 4             # b=4 bands of r=3 rows: P(cand)=1-(1-s^3)^4
+SIMHASH_MAX_HAMMING = 3       # 4×16-bit bands give exact recall at radius 3
 KNN_K = 10
 ANN_K = 5
 EMB_DIM = 64
 N_PLANES = 8
+EMB_NEARDUP_THRESHOLD = 0.35
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _ru_corpus() -> list[tuple[int, str]]:
+    """Deterministic literal Russian corpus for oracling the reference
+    lemmatization path (E2 tokenize + E3 lemmatize + E4 function-word
+    filter + A1 tf): the golden sentences from the reference's JUnit suite
+    plus seeded synthetic-lexicon text. Embedded as literals on BOTH sides
+    (Spark createDataFrame / SQL VALUES) — no external data."""
+    import random
+
+    from searchengine_spark.functions.lexicon import build_lexicon
+
+    docs = [
+        "Появление леопарда в Осетии позволяет предположить, что леопард обитает",
+        "Повторное появление леопарда или барса по районам северного Кавказа",
+        "Съешь еще этих мягких французских булок да выпей чаю!",
+        "Леопард обитает в Осетии. Осетия позволяет предположить 123 many things.",
+    ]
+    lex = build_lexicon()
+    rng = random.Random(20240817)
+    lemmas = sorted(lex.forms_by_lemma)[:200]
+    for _ in range(16):
+        words = [rng.choice(lex.forms_by_lemma[rng.choice(lemmas)])
+                 for _ in range(rng.randrange(8, 25))]
+        docs.append(" ".join(words))
+    return list(enumerate(docs))
+
+
+def _ru_lex_pairs(corpus: list[tuple[int, str]]) -> list[tuple[str, str]]:
+    """(surface, lemma) rows of the lexicon restricted to the corpus
+    vocabulary, function words excluded — semantically identical to the
+    full-lexicon join for this corpus, and small enough for SQL VALUES."""
+    from searchengine_spark.functions.lexicon import (FUNCTION_POS,
+                                                      lexicon_dict)
+    from searchengine_spark.functions.text_core import tokenize
+
+    vocab = {w for _, text in corpus for w in tokenize(text)}
+    lex = lexicon_dict()
+    return sorted((s, lex[s][0]) for s in vocab
+                  if s in lex and lex[s][1] not in FUNCTION_POS)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,6 +172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_simhash(spark, sf):
         return ts.simhash16(ts.term_frequencies(_docs(spark, sf)))
 
+    def q_dedup_simhash64_pairs(spark, sf):
+        return ts.simhash_neardup_pairs(_docs(spark, sf),
+                                        max_hamming=SIMHASH_MAX_HAMMING)
+
     # similarity family
     def q_knn_cosine(spark, sf):
         qv = _query_vec(spark, sf)
@@ -160,9 +206,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = mm.media_from_documents(_docs(spark, sf), "audio")
         return mm.audio_durations(media)
 
+    def q_lsh_ann_multiprobe(spark, sf):
+        qv = _query_vec(spark, sf)
+        return sim.lsh_ann_topk(_emb(spark, sf), qv, k=ANN_K,
+                                n_planes=N_PLANES, exclude_id=0,
+                                probe_radius=1)
+
     def q_emb_neardup(spark, sf):
+        # fixture has no planted near-dup vectors (max pairwise cos ≈ 0.48);
+        # 0.35 exercises the bucket-join + verify stages with real output
         return sim.cosine_neardup_pairs(_emb(spark, sf), dim=EMB_DIM,
-                                        n_planes=N_PLANES, threshold=0.9)
+                                        n_planes=N_PLANES,
+                                        threshold=EMB_NEARDUP_THRESHOLD)
 
     def q_ivf_assign(spark, sf):
         return sim.ivf_assign(_emb(spark, sf), dim=EMB_DIM)
@@ -170,6 +225,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ivf_ann(spark, sf):
         qv = _query_vec(spark, sf)
         return sim.ivf_ann_topk(_emb(spark, sf), qv, k=ANN_K, exclude_id=0)
+
+    # Russian reference pipeline (E2+E3+E4+A1/A2) over the literal corpus —
+    # runs the REAL vectorized-Arrow production path (functions/udfs.py)
+    def q_ru_lemma_tf(spark, sf):
+        from searchengine_spark.functions.udfs import tokens_from_docs
+
+        docs = spark.createDataFrame(_ru_corpus(), "doc_id long, text string")
+        return tokens_from_docs(docs)
+
+    def q_ru_lemma_df(spark, sf):
+        from searchengine_spark.functions.udfs import tokens_from_docs_sql
+
+        docs = spark.createDataFrame(_ru_corpus(), "doc_id long, text string")
+        t = tokens_from_docs_sql(docs)  # the all-Catalyst twin path
+        return (t.groupBy("term")
+                 .agg(F.count("*").cast("long").alias("df"),
+                      F.sum("tf").cast("long").alias("cf")))
 
     # text analysis family
     def q_quality_scores(spark, sf):
@@ -202,15 +274,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
         "knn_cosine": q_knn_cosine,
         "lsh_buckets": q_lsh_buckets,
         "lsh_ann": q_lsh_ann,
+        "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
         "ivf_assign": q_ivf_assign,
         "ivf_ann": q_ivf_ann,
         "media_metadata": q_media_metadata,
         "frame_counts": q_frame_counts,
         "audio_durations": q_audio_durations,
         "emb_neardup": q_emb_neardup,
+        "ru_lemma_tf": q_ru_lemma_tf,
+        "ru_lemma_df": q_ru_lemma_df,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -246,6 +322,63 @@ tri0 AS (
 ),
 tri AS (SELECT DISTINCT doc_id, sh FROM tri0 WHERE sh IS NOT NULL)
 """
+
+
+def _ru_core_sql() -> str:
+    """Shared CTEs: literal corpus + vocabulary-restricted lexicon VALUES,
+    reference-regex tokenization, lemmatize-join (unknowns and function
+    words drop with the inner join), per-doc tf."""
+    corpus = _ru_corpus()
+    corpus_vals = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t.replace(chr(39), chr(39) * 2)}')"
+        for i, t in corpus)
+    lex_vals = ", ".join(f"('{s}', '{l}')" for s, l in _ru_lex_pairs(corpus))
+    return rf"""
+corpus(doc_id, text) AS (VALUES {corpus_vals}),
+lex(surface, lemma) AS (VALUES {lex_vals}),
+rtok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(
+            trim(regexp_replace(lower(text), '[^а-я\s]', '', 'g')),
+            '\s+')) AS surface
+  FROM corpus),
+rtokf AS (SELECT doc_id, surface FROM rtok WHERE surface <> ''),
+rlem AS (SELECT t.doc_id, l.lemma AS term
+         FROM rtokf t JOIN lex l ON t.surface = l.surface),
+rtf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+        FROM rlem GROUP BY doc_id, term)
+"""
+
+
+def _simhash64_neardup_sql(max_hamming: int | None = None) -> str:
+    """64-bit simhash + 4×16-bit-band blocking + exact Hamming verify,
+    mirroring textstats.simhash_neardup_pairs bit-for-bit."""
+    max_hamming = (max_hamming if max_hamming is not None
+                   else SIMHASH_MAX_HAMMING)
+    sexprs = ", ".join(
+        f"sum(tf * (2*(((strpos('0123456789abcdef', substr(md5(term), "
+        f"{b // 4 + 1}, 1))-1) >> {b % 4}) & 1)-1)) AS s{b}"
+        for b in range(64))
+    hi = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << (b - 32)} ELSE 0 END)"
+                    for b in range(32, 64))
+    lo = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+                    for b in range(0, 32))
+    band_exprs = ["lo & 65535", "(lo >> 16) & 65535",
+                  "hi & 65535", "(hi >> 16) & 65535"]
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, hi, lo, {i} AS band, {e} AS key FROM sh"
+        for i, e in enumerate(band_exprs))
+    return f"""
+WITH {_TOK},
+w AS (SELECT doc_id, {sexprs} FROM tf GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({hi} AS BIGINT) AS hi, CAST({lo} AS BIGINT) AS lo FROM w),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT da AS doc_a, db AS doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= {max_hamming}"""
 
 
 def _minhash_neardup_sql(k: int | None = None, bands: int | None = None,
@@ -434,6 +567,7 @@ FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}""",
         "dedup_minhash_pairs": _minhash_neardup_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash64_pairs": _simhash64_neardup_sql(),
         "knn_cosine": f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id <> 0),
@@ -461,6 +595,22 @@ s AS (SELECT vec_id,
           / (sqrt(list_dot_product(ve, ve)) * (SELECT sqrt(list_dot_product(qe, qe)) FROM q))
           AS cos
       FROM bucketed WHERE bucket = (SELECT b FROM qb) AND vec_id <> 0)
+SELECT vec_id, round(cos, 6) AS cos FROM s
+ORDER BY cos DESC, vec_id ASC LIMIT {ANN_K}""",
+        "lsh_ann_multiprobe": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {_lsh_bucket_expr('(SELECT qe FROM q)', EMB_DIM, N_PLANES)} AS b),
+bucketed AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve,
+         {_lsh_bucket_expr('embedding::DOUBLE[]', EMB_DIM, N_PLANES)} AS bucket
+  FROM embeddings
+),
+s AS (SELECT vec_id,
+        list_dot_product(ve, (SELECT qe FROM q))
+          / (sqrt(list_dot_product(ve, ve)) * (SELECT sqrt(list_dot_product(qe, qe)) FROM q))
+          AS cos
+      FROM bucketed
+      WHERE bit_count(xor(bucket, (SELECT b FROM qb))) <= 1 AND vec_id <> 0)
 SELECT vec_id, round(cos, 6) AS cos FROM s
 ORDER BY cos DESC, vec_id ASC LIMIT {ANN_K}""",
         "ivf_assign": f"""
@@ -511,7 +661,16 @@ pairs AS (
            / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS cos
   FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.9""",
+SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {EMB_NEARDUP_THRESHOLD}""",
+        "ru_lemma_tf": f"""
+WITH {_ru_core_sql()}
+SELECT doc_id, term, tf,
+       CAST(sum(tf) OVER (PARTITION BY doc_id) AS INT) AS dl
+FROM rtf""",
+        "ru_lemma_df": f"""
+WITH {_ru_core_sql()}
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM rtf GROUP BY term""",
         "quality_scores": f"""
 WITH {_TOK}
 SELECT doc_id,

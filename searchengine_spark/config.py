@@ -31,6 +31,10 @@ class EngineConfig:
     # path), "python" = vectorized mapInArrow calling the oracle's code
     # (bit-for-bit the reference semantics; equivalence is test-enforced)
     tokenizer: str = "sql"
+    # strategy="auto" routing: serve from the driver (pyarrow, no Spark
+    # job) while every query term's posting list fits one process
+    # (plans/serve.py scale caveat); above it, distributed block-max WAND
+    driver_df_limit: int = 10_000_000
     # defaults mirrored from the reference UI
     default_limit: int = 10  # templates/index.html:128
     snippet_window: int = 20  # SnippetSearch.java:25

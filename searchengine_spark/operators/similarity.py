@@ -178,13 +178,65 @@ def cosine_neardup_pairs(df: DataFrame, dim: int,
 
 def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  n_planes: int = N_HYPERPLANES, vec_col: str = "embedding",
-                 id_col: str = "vec_id", exclude_id=None) -> DataFrame:
-    """ANN: brute-force cosine restricted to the query's LSH bucket."""
+                 id_col: str = "vec_id", exclude_id=None,
+                 probe_radius: int = 0) -> DataFrame:
+    """ANN: brute-force cosine restricted to the query's LSH bucket(s).
+    probe_radius=r adds every bucket within Hamming distance r of the
+    query's code (multi-probe LSH: a vector just across one hyperplane
+    lands one bit away — probing those buckets recovers most of the
+    single-probe recall loss at (n_planes choose r) extra buckets)."""
     dim = len(query_vec)
-    qb = lsh_bucket_of(query_vec, n_planes)
+    probes = probe_buckets(lsh_bucket_of(query_vec, n_planes),
+                           n_planes, probe_radius)
     member_ids = (lsh_buckets(df, dim, n_planes, vec_col, id_col)
-                  .filter(F.col("bucket") == F.lit(qb))
+                  .filter(F.col("bucket").isin(probes))
                   .select(F.col("vec_id").alias("_bucket_member")))
     in_bucket = df.join(member_ids,
                         F.col(id_col) == F.col("_bucket_member"), "left_semi")
     return cosine_topk(in_bucket, query_vec, k, vec_col, id_col, exclude_id)
+
+
+def probe_buckets(bucket: int, n_planes: int, radius: int) -> list[int]:
+    """The query bucket plus every code within Hamming distance `radius`."""
+    out = {bucket}
+    frontier = {bucket}
+    for _ in range(radius):
+        frontier = {b ^ (1 << j) for b in frontier for j in range(n_planes)}
+        out |= frontier
+    return sorted(out)
+
+
+class LshAnnIndex:
+    """Materialized ANN index: the embedding table written ONCE partitioned
+    by LSH bucket, so a probe reads only the probed buckets' partition
+    directories (partition pruning — no full scan, no per-query bucket
+    recomputation). This is the scale path the ad-hoc lsh_ann_topk lacks:
+    at 10^9+ vectors the bucketed layout is the index, queries touch
+    |probes|/2^n_planes of the data, and more plane sets = more indexes."""
+
+    def __init__(self, spark, path: str, dim: int,
+                 n_planes: int = N_HYPERPLANES):
+        self.spark = spark
+        self.path = path
+        self.dim = dim
+        self.n_planes = n_planes
+
+    def build(self, df: DataFrame, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> "LshAnnIndex":
+        b = lsh_buckets(df, self.dim, self.n_planes, vec_col, id_col)
+        (df.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("embedding"))
+           .join(b, "vec_id")
+           .repartition("bucket")
+           .write.mode("overwrite").partitionBy("bucket")
+           .parquet(self.path))
+        return self
+
+    def ann_topk(self, query_vec: list[float], k: int = 10,
+                 probe_radius: int = 1, exclude_id=None) -> DataFrame:
+        probes = probe_buckets(lsh_bucket_of(query_vec, self.n_planes),
+                               self.n_planes, probe_radius)
+        scan = (self.spark.read.parquet(self.path)
+                .filter(F.col("bucket").isin(probes)))
+        return cosine_topk(scan, query_vec, k, "embedding", "vec_id",
+                           exclude_id)

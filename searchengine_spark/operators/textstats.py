@@ -89,6 +89,79 @@ def _hex_digit_val(col):
     return F.conv(col, 16, 10).cast("int")
 
 
+def simhash64(tf: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from a (doc_id, term, tf) frame, emitted
+    as two 32-bit halves (simhash_hi, simhash_lo) so every engine's signed
+    64-bit integer holds them without overflow.
+
+    Bit b (0..63) draws from bit (b%4) of the value of hex digit (b//4) of
+    md5(term): weight_b(doc) = Σ tf·(2·bit−1), simhash bit = weight_b > 0.
+    Pure column expressions, reproducible in ANSI SQL — this is the real
+    near-dup signature (simhash16's 65k buckets are a demo; 2^64 codes +
+    banded Hamming search below scale to web corpora)."""
+    h = tf.withColumn("h", F.md5(F.col("term")))
+    digit_vals = [_hex_digit_val(F.substring("h", i + 1, 1))
+                  for i in range(16)]
+    bit_cols = []
+    for b in range(64):
+        bit = F.shiftright(digit_vals[b // 4], b % 4).bitwiseAND(F.lit(1))
+        bit_cols.append((F.col("tf") * (bit * 2 - 1)).alias(f"w{b}"))
+    weighted = h.select("doc_id", *bit_cols)
+    summed = weighted.groupBy("doc_id").agg(
+        *[F.sum(f"w{b}").alias(f"s{b}") for b in range(64)])
+    half = []
+    for lo_bit in (32, 0):  # hi half first
+        acc = F.lit(0).cast("long")
+        for b in range(lo_bit, lo_bit + 32):
+            acc = acc + F.when(F.col(f"s{b}") > 0,
+                               F.lit(1 << (b - lo_bit))).otherwise(F.lit(0))
+        half.append(acc)
+    return summed.select("doc_id", half[0].alias("simhash_hi"),
+                         half[1].alias("simhash_lo"))
+
+
+def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, hamming) — SimHash near-duplicate pairs.
+
+    Standard 64-bit simhash blocking: split the code into 4 bands of 16
+    bits; any pair within Hamming distance ≤ 3 must agree exactly on at
+    least one band (pigeonhole), so candidates = equality join per band
+    (the shuffle key is a 16-bit value + band id — never an all-pairs
+    join), verified by exact popcount(xor) ≤ max_hamming. max_hamming ≤ 3
+    keeps the pigeonhole guarantee with 4 bands; larger radii need more
+    bands."""
+    s = simhash64(term_frequencies(df, text_col, id_col))
+    bands = [
+        F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("simhash_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("simhash_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+    ]
+    stacked = s.select(
+        "doc_id", "simhash_hi", "simhash_lo",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), b.alias("key"))
+            for i, b in enumerate(bands)])).alias("bk"))
+    stacked = stacked.select("doc_id", "simhash_hi", "simhash_lo",
+                             F.col("bk.band").alias("band"),
+                             F.col("bk.key").alias("key"))
+    a = stacked.select(F.col("doc_id").alias("doc_a"),
+                       F.col("simhash_hi").alias("ha"),
+                       F.col("simhash_lo").alias("la"), "band", "key")
+    b = stacked.select(F.col("doc_id").alias("doc_b"),
+                       F.col("simhash_hi").alias("hb"),
+                       F.col("simhash_lo").alias("lb"), "band", "key")
+    ham = (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+           + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))).cast("long")
+    return (a.join(b, ["band", "key"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", ham.alias("hamming"))
+             .distinct()
+             .filter(F.col("hamming") <= F.lit(max_hamming)))
+
+
 def simhash16(tf: DataFrame) -> DataFrame:
     """16-bit SimHash per document from a (doc_id, term, tf) frame.
 

@@ -157,6 +157,11 @@ class QueryEngine:
                            files with pyarrow — NO Spark job; millisecond
                            path for interactive serving (plans/serve.py).
                            bm25, no site filter; falls back to exact.
+        strategy="auto":   route by the query's posting volume (driver-side
+                           dictionary lookup, no Spark job): driver while
+                           every term's df fits one process
+                           (cfg.driver_df_limit), WAND above it, exact for
+                           site filters / reference relevance mode.
         count_mode="none" skips the total-match count (count is inherently a
         full-intersection job; WAND's point is NOT doing that work)."""
         limit = limit if limit is not None else self.cfg.default_limit
@@ -164,6 +169,9 @@ class QueryEngine:
             return {"result": False, "error": ERR_EMPTY}
         if not is_query_valid(query):
             return {"result": False, "error": ERR_NOT_RUSSIAN}
+
+        if strategy == "auto":
+            strategy = self._pick_strategy(query, site, relevance_mode)
 
         if (strategy == "driver" and site is None
                 and relevance_mode == "bm25"):
@@ -239,6 +247,28 @@ class QueryEngine:
                 row["snippet"] = build_snippet(r["text"], list(qlemmas_master))
             data.append(row)
         return {"result": True, "count": count, "data": data}
+
+    def _pick_strategy(self, query: str, site: str | None,
+                       relevance_mode: str) -> str:
+        """auto routing: driver (one-process columnar read) while every
+        query term's posting list is small, distributed WAND above, exact
+        whenever the fast paths don't apply (site filter, reference
+        relevance, no blocks stage). The df probe is a driver-side pruned
+        dictionary read — no Spark job."""
+        if site is not None or relevance_mode != "bm25" \
+                or not self.io.exists("blocks"):
+            return "exact"
+        from . import serve
+
+        lemmas = list(split_to_lemmas(query))
+        if not lemmas:
+            return "exact"
+        terms = serve.lookup_terms(self.io, self.cfg, lemmas,
+                                   self.stats["n_docs"])
+        if not terms:
+            return "exact"
+        mx = max(t["df"] for t in terms)
+        return "driver" if mx <= self.cfg.driver_df_limit else "wand"
 
     # --- driver-side serving path (plans/serve.py) ------------------------
 

@@ -56,3 +56,32 @@ def test_driver_pagination(built_engine):
                                strategy="driver", with_snippets=False)
     assert [h["doc_id"] for h in page["data"]] == \
            [h["doc_id"] for h in full["data"][10:20]]
+
+
+def test_auto_strategy_routes_and_matches(built_engine):
+    """strategy='auto' must return responses identical to exact, routing
+    to driver for small posting lists, wand above driver_df_limit, and
+    exact when a site filter applies."""
+    import dataclasses
+
+    from searchengine_spark.plans.query import QueryEngine
+
+    eng = built_engine
+    q = "леопард обитает"
+    exact = eng.search(q, limit=5, strategy="exact")
+    auto = eng.search(q, limit=5, strategy="auto")
+    assert auto["result"] == exact["result"]
+    assert [h["doc_id"] for h in auto["data"]] == \
+           [h["doc_id"] for h in exact["data"]]
+
+    qe = eng.query_engine
+    assert qe._pick_strategy(q, None, "bm25") == "driver"
+    assert qe._pick_strategy(q, "anysite", "bm25") == "exact"
+    assert qe._pick_strategy(q, None, "reference") == "exact"
+
+    tiny = QueryEngine(eng.spark, eng.io,
+                       dataclasses.replace(eng.cfg, driver_df_limit=0))
+    assert tiny._pick_strategy(q, None, "bm25") == "wand"
+    wand_auto = tiny.search(q, limit=5, strategy="auto")
+    assert [h["doc_id"] for h in wand_auto["data"]] == \
+           [h["doc_id"] for h in exact["data"]]
