@@ -38,6 +38,7 @@ ANN_K = 5
 EMB_DIM = 64
 N_PLANES = 8
 EMB_NEARDUP_THRESHOLD = 0.35
+IVF_N_PROBE = 2
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,6 +227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = _query_vec(spark, sf)
         return sim.ivf_ann_topk(_emb(spark, sf), qv, k=ANN_K, exclude_id=0)
 
+    def q_ivf_ann_multiprobe(spark, sf):
+        qv = _query_vec(spark, sf)
+        return sim.ivf_ann_topk(_emb(spark, sf), qv, k=ANN_K, exclude_id=0,
+                                n_probe=IVF_N_PROBE)
+
     # Russian reference pipeline (E2+E3+E4+A1/A2) over the literal corpus —
     # runs the REAL vectorized-Arrow production path (functions/udfs.py)
     def q_ru_lemma_tf(spark, sf):
@@ -281,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
         "ivf_assign": q_ivf_assign,
         "ivf_ann": q_ivf_ann,
+        "ivf_ann_multiprobe": q_ivf_ann_multiprobe,
         "media_metadata": q_media_metadata,
         "frame_counts": q_frame_counts,
         "audio_durations": q_audio_durations,
@@ -630,6 +637,25 @@ s AS (SELECT vec_id,
           / (sqrt(list_dot_product(ve, ve)) * (SELECT sqrt(list_dot_product(qe, qe)) FROM q))
           AS cos
       FROM lst WHERE centroid = (SELECT c FROM qc) AND vec_id <> 0)
+SELECT vec_id, round(cos, 6) AS cos FROM s
+ORDER BY cos DESC, vec_id ASC LIMIT {ANN_K}""",
+        "ivf_ann_multiprobe": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+cs AS ({' UNION ALL '.join(
+    f"SELECT {c} AS c, {_ivf_score_expr('(SELECT qe FROM q)', c, EMB_DIM)} AS s"
+    for c in range(4))}),
+probes AS (SELECT c FROM cs ORDER BY s DESC, c ASC LIMIT {IVF_N_PROBE}),
+lst AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve,
+         {_ivf_assign_expr('embedding::DOUBLE[]', EMB_DIM)} AS centroid
+  FROM embeddings
+),
+s AS (SELECT vec_id,
+        list_dot_product(ve, (SELECT qe FROM q))
+          / (sqrt(list_dot_product(ve, ve)) * (SELECT sqrt(list_dot_product(qe, qe)) FROM q))
+          AS cos
+      FROM lst
+      WHERE centroid IN (SELECT c FROM probes) AND vec_id <> 0)
 SELECT vec_id, round(cos, 6) AS cos FROM s
 ORDER BY cos DESC, vec_id ASC LIMIT {ANN_K}""",
         "media_metadata": """

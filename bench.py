@@ -47,8 +47,11 @@ HEADLINE = [
     "dedup_exact_summary",
     "dedup_minhash_pairs",
     "dedup_simhash",
+    "dedup_simhash64_pairs",
     "knn_cosine",
     "lsh_ann",
+    "lsh_ann_multiprobe",
+    "ru_lemma_tf",
     "quality_scores",
     "token_counts",
     "fingerprints",

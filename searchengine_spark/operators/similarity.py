@@ -136,18 +136,66 @@ def ivf_centroid_of(query_vec: list[float],
     return best_c
 
 
+def ivf_centroids_of(query_vec: list[float], n_probe: int,
+                     n_centroids: int = N_CENTROIDS) -> list[int]:
+    """The n_probe nearest coarse centroids (multi-probe IVF list set)."""
+    dim = len(query_vec)
+    scored = []
+    for c in range(n_centroids):
+        cent = ivf_centroid(c, dim)
+        s = sum(x * y for x, y in zip(query_vec, cent)) \
+            - sum(x * x for x in cent) / 2.0
+        scored.append((-s, c))
+    return sorted(c for _, c in sorted(scored)[:n_probe])
+
+
 def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  n_centroids: int = N_CENTROIDS, vec_col: str = "embedding",
-                 id_col: str = "vec_id", exclude_id=None) -> DataFrame:
-    """ANN: brute-force cosine restricted to the query's IVF list
-    (single-probe; multi-probe = union of the nearest lists)."""
+                 id_col: str = "vec_id", exclude_id=None,
+                 n_probe: int = 1) -> DataFrame:
+    """ANN: brute-force cosine restricted to the query's n_probe nearest
+    IVF lists (n_probe=1 is the classic single-probe quantizer)."""
     dim = len(query_vec)
-    qc = ivf_centroid_of(query_vec, n_centroids)
+    probes = ivf_centroids_of(query_vec, n_probe, n_centroids)
     members = (ivf_assign(df, dim, n_centroids, vec_col, id_col)
-               .filter(F.col("centroid") == F.lit(qc))
+               .filter(F.col("centroid").isin(probes))
                .select(F.col("vec_id").alias("_m")))
     in_list = df.join(members, F.col(id_col) == F.col("_m"), "left_semi")
     return cosine_topk(in_list, query_vec, k, vec_col, id_col, exclude_id)
+
+
+class IvfAnnIndex:
+    """Materialized IVF index: embeddings written once partitioned by
+    coarse-centroid id; a probe reads n_probe inverted lists' partition
+    dirs only (same layout discipline as LshAnnIndex — the partitioned
+    table IS the index; at scale centroids come from k-means and
+    n_centroids grows to sqrt(n))."""
+
+    def __init__(self, spark, path: str, dim: int,
+                 n_centroids: int = N_CENTROIDS):
+        self.spark = spark
+        self.path = path
+        self.dim = dim
+        self.n_centroids = n_centroids
+
+    def build(self, df: DataFrame, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> "IvfAnnIndex":
+        a = ivf_assign(df, self.dim, self.n_centroids, vec_col, id_col)
+        (df.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("embedding"))
+           .join(a, "vec_id")
+           .repartition("centroid")
+           .write.mode("overwrite").partitionBy("centroid")
+           .parquet(self.path))
+        return self
+
+    def ann_topk(self, query_vec: list[float], k: int = 10,
+                 n_probe: int = 1, exclude_id=None) -> DataFrame:
+        probes = ivf_centroids_of(query_vec, n_probe, self.n_centroids)
+        scan = (self.spark.read.parquet(self.path)
+                .filter(F.col("centroid").isin(probes)))
+        return cosine_topk(scan, query_vec, k, "embedding", "vec_id",
+                           exclude_id)
 
 
 def cosine_neardup_pairs(df: DataFrame, dim: int,

@@ -59,3 +59,39 @@ def test_multiprobe_recall_superset(emb, query_vec):
     assert len(multi) >= len(single)
     for m, s in zip(multi, single):
         assert m["cos"] >= s["cos"] - 1e-9
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark, emb, tmp_path_factory):
+    from searchengine_spark.operators.similarity import IvfAnnIndex
+
+    path = str(tmp_path_factory.mktemp("ann") / "ivf_index")
+    return IvfAnnIndex(spark, path, dim=64).build(emb)
+
+
+def test_ivf_indexed_matches_adhoc(ivf_index, emb, query_vec):
+    from searchengine_spark.operators.similarity import ivf_ann_topk
+
+    for n_probe in (1, 2):
+        got = ivf_index.ann_topk(query_vec, k=5, n_probe=n_probe,
+                                 exclude_id=0).collect()
+        want = ivf_ann_topk(emb, query_vec, k=5, exclude_id=0,
+                            n_probe=n_probe).collect()
+        assert [(r["vec_id"], r["cos"]) for r in got] == \
+               [(r["vec_id"], r["cos"]) for r in want]
+
+
+def test_ivf_indexed_scan_is_partition_pruned(ivf_index, query_vec):
+    df = ivf_index.ann_topk(query_vec, k=5, n_probe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+
+
+def test_ivf_multiprobe_superset(emb, query_vec):
+    from searchengine_spark.operators.similarity import ivf_ann_topk
+
+    single = ivf_ann_topk(emb, query_vec, k=5, exclude_id=0).collect()
+    multi = ivf_ann_topk(emb, query_vec, k=5, exclude_id=0,
+                         n_probe=2).collect()
+    for m, s in zip(multi, single):
+        assert m["cos"] >= s["cos"] - 1e-9
