@@ -62,6 +62,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    # one untimed scan first: JVM/codegen/parquet-footer warmup, so query
+    # timings measure the plans, not first-job session startup
+    qs["fingerprints"](spark, sf_dir).count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -73,7 +76,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def bench_index_build(spark, tmp: str, n_docs: int = 2000) -> dict:
+def bench_index_build(spark, tmp: str,
+                      n_docs: int = int(os.environ.get(
+                          "SPARK_GRAFT_BENCH_DOCS", "20000"))) -> dict:
     """End-to-end: synthetic corpus -> build index -> query p95."""
     from searchengine_spark.config import EngineConfig
     from searchengine_spark.plans.build import IndexBuilder

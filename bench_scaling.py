@@ -199,7 +199,7 @@ the reference's ceiling — while computing a strictly richer index
     print(md)
 
 
-def run_control(levels=(1, 4, 16), n_docs: int = 24000) -> dict:
+def run_control(levels=(1, 4, 8, 16, 32), n_docs: int = 48000) -> dict:
     """No-Spark control: the same per-doc work (generate, extract,
     lemmatize) in a bare multiprocessing pool. Separates the HOST's
     parallel-scaling ceiling (memory bandwidth, steal) from anything the

@@ -26,11 +26,16 @@ class EngineConfig:
     # postings layout: term-hash buckets (partition pruning at query time);
     # also the write parallelism of the postings/blocks stages
     term_buckets: int = 64
-    # tokenize+lemmatize stage implementation: "sql" = pure Catalyst
-    # (regexp split + broadcast lexicon join; zero Python in the build hot
-    # path), "python" = vectorized mapInArrow calling the oracle's code
-    # (bit-for-bit the reference semantics; equivalence is test-enforced)
-    tokenizer: str = "sql"
+    # tokenize+lemmatize stage implementation. "python" = vectorized
+    # mapInArrow calling the oracle's code (bit-for-bit reference
+    # semantics): ONE fused pass per batch emitting pre-aggregated
+    # (doc, term, tf) — measured 2-3x faster than the Catalyst variant.
+    # "sql" = pure Catalyst (regexp split + explode + broadcast lexicon
+    # join): zero Python, but the token-level explode must be shuffled and
+    # aggregated where the Arrow path pre-combines in place — measured
+    # slower at every parallelism level (see BENCH/BASELINE.md); kept as
+    # the no-Python-runtime option. Row-identical (test-enforced).
+    tokenizer: str = "python"
     # strategy="auto" routing: serve from the driver (pyarrow, no Spark
     # job) while every query term's posting list fits one process
     # (plans/serve.py scale caveat); above it, distributed block-max WAND

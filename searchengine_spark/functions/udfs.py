@@ -164,7 +164,11 @@ def tokens_from_docs_sql(docs: DataFrame) -> DataFrame:
                         F.trim(F.regexp_replace(F.lower(F.col("text")),
                                                 "[^а-я\\s]", "")),
                         "\\s+")).alias("surface"))
-            .filter(F.col("surface") != ""))
+            .filter(F.col("surface") != "")
+            # ONE exchange for the whole stage: hash by doc_id satisfies
+            # both the (doc_id, lemma) aggregation's clustering and the dl
+            # window's partitioning, so neither adds its own shuffle
+            .repartition("doc_id"))
     tf = (toks.join(lex, "surface")
               .groupBy("doc_id", "lemma")
               .agg(F.count("*").cast("int").alias("tf")))
