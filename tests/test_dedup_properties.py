@@ -1,0 +1,97 @@
+"""Property tests for the near-duplicate operators.
+
+- MinHash-LSH banding (b×r + exact-Jaccard verify) must agree with the
+  exhaustive shingle-Jaccard join wherever LSH recall holds, and must
+  NEVER emit a pair below the threshold (precision is exact by
+  construction — every candidate is verified).
+- 64-bit SimHash band blocking is pigeonhole-complete at radius 3: any
+  pair within Hamming distance ≤ 3 shares at least one of the 4 16-bit
+  bands, so the banded operator equals the brute-force Hamming join.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk_docs(spark, rng, n_base=30, n_dups=8):
+    """Synthetic corpus with planted near-dups: clones of base docs with a
+    few token edits."""
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    for i in range(n_base):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(12, 40))]
+        rows.append((i, " ".join(words)))
+    for j in range(n_dups):
+        src_id, text = rows[rng.randrange(n_base)]
+        words = text.split()
+        for _ in range(rng.randrange(0, 3)):  # 0-2 edits
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        rows.append((1000 + j, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_minhash_banded_verified_subset_of_truth(spark, seed):
+    from searchengine_spark.operators.dedup import (jaccard_pairs,
+                                                    minhash_neardup_pairs,
+                                                    shingles)
+
+    rng = random.Random(seed)
+    docs = _mk_docs(spark, rng)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in minhash_neardup_pairs(docs, k=12, bands=4, n=3,
+                                          threshold=0.5).collect()}
+    truth = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_pairs(shingles(docs, 3), threshold=0.5,
+                                    hashed_keys=False).collect()}
+    # precision is exact: every emitted pair is in the truth set with the
+    # same verified jaccard
+    for pair, j in got.items():
+        assert pair in truth and abs(j - truth[pair]) < 1e-9
+    # planted near-dups (0-2 edits => very high shingle jaccard) recall:
+    # every truth pair with j >= 0.8 must survive banding at r=3, b=4
+    high = {p for p, j in truth.items() if j >= 0.8}
+    assert high, "fixture must plant high-similarity pairs"
+    assert high <= set(got)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_simhash_banding_equals_bruteforce(spark, seed):
+    from searchengine_spark.operators.textstats import (simhash64,
+                                                        simhash_neardup_pairs,
+                                                        term_frequencies)
+
+    rng = random.Random(seed)
+    docs = _mk_docs(spark, rng)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_neardup_pairs(docs, max_hamming=3).collect()}
+
+    s = simhash64(term_frequencies(docs))
+    a = s.select(F.col("doc_id").alias("doc_a"),
+                 F.col("simhash_hi").alias("ha"),
+                 F.col("simhash_lo").alias("la"))
+    b = s.select(F.col("doc_id").alias("doc_b"),
+                 F.col("simhash_hi").alias("hb"),
+                 F.col("simhash_lo").alias("lb"))
+    ham = (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+           + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))).cast("long")
+    brute = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in a.crossJoin(b)
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", ham.alias("hamming"))
+             .filter(F.col("hamming") <= 3).collect()}
+    assert got == brute  # pigeonhole: banding loses nothing at radius 3
+
+
+def test_simhash64_halves_are_32bit(spark):
+    from searchengine_spark.operators.textstats import (simhash64,
+                                                        term_frequencies)
+
+    docs = _mk_docs(spark, random.Random(99))
+    rows = simhash64(term_frequencies(docs)).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["simhash_hi"] < (1 << 32)
+        assert 0 <= r["simhash_lo"] < (1 << 32)
