@@ -67,6 +67,9 @@ class QueryEngine:
         for t in ("postings", "terms", "blocks", "docs"):
             if not self.io.exists(t):
                 continue  # the one expected absence: table never built
+            # serving reads directories via pyarrow (plans/serve.py) —
+            # clear any interrupted-commit debris so dir == snapshot
+            self.io.vacuum(t)
             df = self.io.read(t).persist(StorageLevel.MEMORY_AND_DISK)
             df.count()  # materialize now, not on first query
             self._warm[t] = df

@@ -90,8 +90,13 @@ class TableIO:
             return json.load(f)
 
     def write_manifest(self, result: StageResult) -> None:
-        with open(self._manifest_path(result.stage), "w") as f:
+        """Atomic: the manifest IS the commit point (snapshot swap), so it
+        must never be observable half-written."""
+        p = self._manifest_path(result.stage)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(result.to_json(), f, ensure_ascii=False, indent=1)
+        os.replace(tmp, p)
 
     def invalidate_from(self, stages: list[str], first_dirty: str) -> None:
         """Drop manifests (and data) for first_dirty and everything after."""
@@ -141,7 +146,39 @@ class TableIO:
         return result
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+        """Manifest-pinned read (snapshot isolation, Iceberg-style): when a
+        stage manifest exists, read exactly ITS file list — not whatever
+        the directory currently holds — so an interrupted partition
+        overwrite (which adds new-generation files before the manifest
+        swap) can never surface duplicate or partial data to the Spark
+        paths. basePath keeps hive partition columns + pruning."""
+        base = self.path(table)
+        m = self.read_manifest(table)
+        files = [os.path.join(self.work_dir, f["path"])
+                 for f in (m or {}).get("files", [])]
+        files = [p for p in files if os.path.exists(p)]
+        if m is None or not files:
+            return self.spark.read.parquet(base)
+        return self.spark.read.option("basePath", base).parquet(*files)
+
+    def vacuum(self, table: str) -> int:
+        """Delete data files not referenced by the table's manifest —
+        debris from an interrupted partition overwrite. Returns the number
+        of files removed. Safe any time: live files are exactly the
+        manifest's."""
+        m = self.read_manifest(table)
+        if m is None:
+            return 0
+        live = {os.path.join(self.work_dir, f["path"]) for f in m["files"]}
+        removed = 0
+        base = self.path(table)
+        for root, _, fs in os.walk(base):
+            for fn in fs:
+                fp = os.path.join(root, fn)
+                if fn.endswith(".parquet") and fp not in live:
+                    os.remove(fp)
+                    removed += 1
+        return removed
 
     def overwrite_partitions(self, df: DataFrame, stage: str,
                              partition_col: str, values: list,
@@ -154,23 +191,51 @@ class TableIO:
         touched partitions). df must contain exactly the replacement rows
         for those partitions (a partition with no rows is dropped).
 
-        The new data is fully written to a side directory BEFORE any
-        target directory is touched, so a df whose lineage reads the
-        target table is safe, and a crash mid-swap loses at most already-
-        replaceable partition dirs (the manifest is rewritten last)."""
+        Crash-safe commit protocol (snapshot emulation):
+          1. vacuum debris from any earlier interrupted commit;
+          2. write the replacement data to a side directory (a df whose
+             lineage reads the target table is therefore safe);
+          3. move the new files INTO the partition dirs under
+             generation-unique names — old files are NOT touched;
+          4. atomically swap the manifest (the commit point): Spark reads
+             are manifest-pinned (see read()), so before the swap they see
+             exactly the old snapshot, after it exactly the new;
+          5. vacuum the superseded files.
+        A crash at any step leaves a readable old snapshot plus orphan
+        files the next commit's vacuum removes. (The pyarrow serving path
+        reads directories, not manifests — run vacuum before serving after
+        a crash; real Iceberg closes this gap with metadata-file reads.)"""
+        import uuid
+
         table = table or stage
         target = self.path(table)
         tmp = os.path.join(self.work_dir, f"_tmp_{table}")
         shutil.rmtree(tmp, ignore_errors=True)
+        self.vacuum(table)
         t0 = time.monotonic()
         df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        gen = uuid.uuid4().hex[:12]
         replaced = [f"{partition_col}={v}" for v in values]
+        fresh = []
         for sub in replaced:
-            dst = os.path.join(target, sub)
             src = os.path.join(tmp, sub)
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
+            if not os.path.isdir(src):
+                continue  # partition emptied by this commit
+            dst = os.path.join(target, sub)
+            os.makedirs(dst, exist_ok=True)
+            for root, _, fs in os.walk(src):
+                for fn in sorted(fs):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(root, fn)
+                    out = os.path.join(dst, f"gen-{gen}-{fn}")
+                    meta = pq.read_metadata(fp)
+                    shutil.move(fp, out)
+                    fresh.append({
+                        "path": os.path.relpath(out, self.work_dir),
+                        "rows": meta.num_rows,
+                        "bytes": os.path.getsize(out),
+                    })
         shutil.rmtree(tmp, ignore_errors=True)
         wall_ms = int((time.monotonic() - t0) * 1000)
 
@@ -179,22 +244,6 @@ class TableIO:
         prefixes = tuple(os.path.join(table, sub) + os.sep for sub in replaced)
         keep = [f for f in old.get("files", [])
                 if not f["path"].startswith(prefixes)]
-        fresh = []
-        for sub in replaced:
-            d = os.path.join(target, sub)
-            if not os.path.isdir(d):
-                continue
-            for root, _, fs in os.walk(d):
-                for fn in sorted(fs):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    fp = os.path.join(root, fn)
-                    meta = pq.read_metadata(fp)
-                    fresh.append({
-                        "path": os.path.relpath(fp, self.work_dir),
-                        "rows": meta.num_rows,
-                        "bytes": os.path.getsize(fp),
-                    })
         files = keep + fresh
         extra = {**old.get("extra", {}), **(extra_update or {})}
         result = StageResult(
@@ -203,7 +252,8 @@ class TableIO:
             bytes=sum(f["bytes"] for f in files),
             wall_ms=old.get("wall_ms", 0) + wall_ms,
             files=files, extra=extra)
-        self.write_manifest(result)
+        self.write_manifest(result)  # atomic commit point
+        self.vacuum(table)
         return result
 
     # --- scalar metadata (corpus stats etc.) ----------------------------

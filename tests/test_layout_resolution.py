@@ -120,3 +120,45 @@ def test_block_id_sequential_across_batches(spark, small_bucket_engine):
     assert len(blocks) == sum(len(v) for v in seen.values())
     for key, ids in seen.items():
         assert sorted(ids) == list(range(len(ids))), (key, sorted(ids)[:5])
+
+
+def test_overwrite_partitions_crash_safety(spark, tmp_path):
+    """An interrupted partition overwrite (new-generation files present,
+    manifest NOT yet swapped) must leave Spark reads on the OLD snapshot;
+    vacuum removes the debris."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    io = TableIO(spark, str(tmp_path / "crash"))
+    df = spark.range(0, 100).select(
+        F.col("id").alias("v"), (F.col("id") % 4).cast("int").alias("pk"))
+    io.write_stage(df.repartition(4, "pk"), "t", partition_by=["pk"])
+    assert io.read("t").count() == 100
+
+    # simulate the crash: drop a rogue new-generation file into a
+    # partition dir WITHOUT committing a manifest swap
+    part_dir = os.path.join(io.path("t"), "pk=1")
+    victim = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+    import shutil
+    rogue = os.path.join(part_dir, "gen-deadbeef-rogue.parquet")
+    shutil.copy(os.path.join(part_dir, victim), rogue)
+
+    # manifest-pinned read: still exactly the old snapshot (a plain
+    # directory read would double-count pk=1)
+    assert io.read("t").count() == 100
+    assert spark.read.parquet(io.path("t")).count() > 100  # the hazard
+
+    assert io.vacuum("t") == 1
+    assert not os.path.exists(rogue)
+    assert io.read("t").count() == 100
+
+    # a real commit through the protocol: replace pk=1 rows with 5 rows
+    repl = spark.range(0, 5).select(
+        F.col("id").alias("v"), F.lit(1).cast("int").alias("pk"))
+    io.overwrite_partitions(repl, "t", "pk", [1])
+    got = io.read("t")
+    assert got.count() == 75 + 5
+    assert got.filter(F.col("pk") == 1).count() == 5
+    # directory agrees after the commit's trailing vacuum
+    assert spark.read.parquet(io.path("t")).count() == 80
