@@ -81,6 +81,30 @@ def cmd_statistics(args) -> None:
                      ensure_ascii=False))
 
 
+def cmd_upsert(args) -> None:
+    """C3 indexPage as a batch job: replace-by-url from a pages table of
+    the changed/new documents (partition-scoped index maintenance)."""
+    from searchengine_spark.plans.api import SearchEngine
+
+    spark = _spark("searchengine-upsert")
+    eng = SearchEngine(spark, args.work)
+    report = eng.upsert_docs(spark.read.parquet(args.pages))
+    print(json.dumps(report, ensure_ascii=False))
+
+
+def cmd_remove(args) -> None:
+    """S7/S8 as a batch job: cascade-delete a site or a single page."""
+    from searchengine_spark.plans.api import SearchEngine
+
+    spark = _spark("searchengine-remove")
+    eng = SearchEngine(spark, args.work)
+    if args.site:
+        report = eng.remove_site(_fix_argv_encoding(args.site))
+    else:
+        report = eng.remove_page(_fix_argv_encoding(args.url))
+    print(json.dumps(report, ensure_ascii=False))
+
+
 def cmd_gen(args) -> None:
     from searchengine_spark.sources.corpus import gen_pages_spark
 
@@ -110,14 +134,28 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--limit", type=int, default=10)
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--site", default=None)
-    s.add_argument("--strategy", choices=["exact", "wand", "driver"],
-                   default="exact")
+    s.add_argument("--strategy",
+                   choices=["exact", "wand", "driver", "auto"],
+                   default="auto")
     s.add_argument("--no-snippets", action="store_true")
     s.set_defaults(fn=cmd_search)
 
     st = sub.add_parser("statistics", help="per-site index statistics")
     st.add_argument("--work", required=True)
     st.set_defaults(fn=cmd_statistics)
+
+    u = sub.add_parser("upsert", help="incrementally (re)index changed pages")
+    u.add_argument("--pages", required=True,
+                   help="parquet table of changed/new pages (same schema)")
+    u.add_argument("--work", required=True)
+    u.set_defaults(fn=cmd_upsert)
+
+    rm = sub.add_parser("remove", help="cascade-delete a site or one page")
+    rm.add_argument("--work", required=True)
+    grp = rm.add_mutually_exclusive_group(required=True)
+    grp.add_argument("--site", default=None)
+    grp.add_argument("--url", default=None)
+    rm.set_defaults(fn=cmd_remove)
 
     g = sub.add_parser("gen", help="write a deterministic synthetic pages table")
     g.add_argument("--out", required=True)
