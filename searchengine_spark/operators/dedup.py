@@ -133,11 +133,14 @@ def minhash_neardup_pairs(df: DataFrame, k: int = 12, bands: int = 4,
 
     Scale notes: the band join's fan-out is bounded by real near-dup
     clusters (plus the vanishing 1-(1-s^r)^b tail), so output stays linear
-    in duplicates; at 100 TB the shingle frame feeding this would be
-    materialized once (it is re-derived per use here, fine below ~10^7
-    docs) and exact duplicates pre-collapsed via exact_keep_first so giant
-    identical clusters don't quadratically inflate candidate pairs."""
-    sh = shingles(df, n, text_col, id_col)
+    in duplicates; exact duplicates should be pre-collapsed via
+    exact_keep_first so giant identical clusters don't quadratically
+    inflate candidate pairs. The shingle frame and the candidate set feed
+    multiple downstream joins, so both are materialized once
+    (localCheckpoint — the in-session analog of writing them to a table,
+    which is what a 100 TB run would do) instead of re-deriving the
+    explode per consumer."""
+    sh = shingles(df, n, text_col, id_col).localCheckpoint(eager=True)
     sigs = minhash_band_signatures(sh, k, bands)
     a = sigs.select(F.col("doc_id").alias("doc_a"),
                     F.col("n_sh").alias("na"), "band", "sig")
@@ -145,11 +148,19 @@ def minhash_neardup_pairs(df: DataFrame, k: int = 12, bands: int = 4,
                     F.col("n_sh").alias("nb"), "band", "sig")
     cand = (a.join(b, ["band", "sig"])
              .filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b", "na", "nb").distinct())
-    # exact verification: |A ∩ B| via two joins against the shingle frame,
-    # restricted to candidates (cand is small — near-dups only)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+             .select("doc_a", "doc_b", "na", "nb").distinct()
+             .localCheckpoint(eager=True))
+    # exact verification: |A ∩ B| via two joins against the shingle frame
+    # PRE-RESTRICTED to candidate docs (broadcast semi-joins — cand is
+    # O(near-dups), so the verify shuffle moves only duplicates' shingles,
+    # not the corpus; for pathological giant-dup-cluster inputs collapse
+    # exact dups with exact_keep_first first)
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                     .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                     .distinct())
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sa = sh_c.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh_c.select(F.col("doc_id").alias("doc_b"), "sh")
     common = (cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
                   .groupBy("doc_a", "doc_b", "na", "nb")
                   .agg(F.count("*").alias("common")))

@@ -89,24 +89,38 @@ def _hex_digit_val(col):
     return F.conv(col, 16, 10).cast("int")
 
 
-def simhash64(tf: DataFrame) -> DataFrame:
+def simhash64(tf: DataFrame, broadcast_signs: bool = True) -> DataFrame:
     """64-bit SimHash per document from a (doc_id, term, tf) frame, emitted
     as two 32-bit halves (simhash_hi, simhash_lo) so every engine's signed
     64-bit integer holds them without overflow.
+
+    broadcast_signs: the per-term sign table is |vocab|×64 small ints —
+    broadcast-able up to a few million distinct terms; disable for larger
+    vocabularies to fall back to a shuffle join.
 
     Bit b (0..63) draws from bit (b%4) of the value of hex digit (b//4) of
     md5(term): weight_b(doc) = Σ tf·(2·bit−1), simhash bit = weight_b > 0.
     Pure column expressions, reproducible in ANSI SQL — this is the real
     near-dup signature (simhash16's 65k buckets are a demo; 2^64 codes +
     banded Hamming search below scale to web corpora)."""
-    h = tf.withColumn("h", F.md5(F.col("term")))
+    # the 64-bit pattern depends only on the TERM: compute md5 digits and
+    # signs once per distinct term (|vocab| rows), then join back — the
+    # per-row work on the big tf frame is 64 multiplies, not 16 md5-hex
+    # conversions × 64 shift/mask expressions
+    terms = tf.select("term").distinct().withColumn("h", F.md5(F.col("term")))
     digit_vals = [_hex_digit_val(F.substring("h", i + 1, 1))
                   for i in range(16)]
-    bit_cols = []
+    sign_cols = []
     for b in range(64):
         bit = F.shiftright(digit_vals[b // 4], b % 4).bitwiseAND(F.lit(1))
-        bit_cols.append((F.col("tf") * (bit * 2 - 1)).alias(f"w{b}"))
-    weighted = h.select("doc_id", *bit_cols)
+        sign_cols.append((bit * 2 - 1).alias(f"g{b}"))
+    term_signs = terms.select("term", *sign_cols)
+    if broadcast_signs:
+        term_signs = F.broadcast(term_signs)
+    weighted = (tf.join(term_signs, "term")
+                  .select("doc_id",
+                          *[(F.col("tf") * F.col(f"g{b}")).alias(f"w{b}")
+                            for b in range(64)]))
     summed = weighted.groupBy("doc_id").agg(
         *[F.sum(f"w{b}").alias(f"s{b}") for b in range(64)])
     half = []
