@@ -39,6 +39,7 @@ EMB_DIM = 64
 N_PLANES = 8
 EMB_NEARDUP_THRESHOLD = 0.35
 IVF_N_PROBE = 2
+RESIZE_W, RESIZE_H = 64, 64
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,6 +208,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = mm.media_from_documents(_docs(spark, sf), "audio")
         return mm.audio_durations(media)
 
+    def q_media_resize_dims(spark, sf):
+        from searchengine_spark.operators import multimodal as mm
+        media = mm.media_from_documents(_docs(spark, sf))
+        out = mm.resize_images(media, RESIZE_W, RESIZE_H)
+        return out.select("doc_id", "width", "height",
+                          F.length("payload").cast("long").alias("out_bytes"))
+
     def q_lsh_ann_multiprobe(spark, sf):
         qv = _query_vec(spark, sf)
         return sim.lsh_ann_topk(_emb(spark, sf), qv, k=ANN_K,
@@ -289,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "ivf_ann_multiprobe": q_ivf_ann_multiprobe,
         "media_metadata": q_media_metadata,
+        "media_resize_dims": q_media_resize_dims,
         "frame_counts": q_frame_counts,
         "audio_durations": q_audio_durations,
         "emb_neardup": q_emb_neardup,
@@ -666,6 +675,16 @@ SELECT doc_id,
        CAST((octet_length(encode(text)) // 640) % 480 + 1 AS INT) AS height,
        'L' AS mode
 FROM documents""",
+        "media_resize_dims": f"""
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS w,
+         CAST((octet_length(encode(text)) // 640) % 480 + 1 AS INT) AS h
+  FROM documents)
+SELECT doc_id, {RESIZE_W} AS width, {RESIZE_H} AS height,
+       CAST(greatest(1, CAST(n * least(1.0, {RESIZE_W * RESIZE_H}.0 / greatest(1, w * h)) AS INT)) AS BIGINT) AS out_bytes
+FROM m""",
         "frame_counts": """
 SELECT doc_id,
        CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
