@@ -62,9 +62,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    # one untimed scan first: JVM/codegen/parquet-footer warmup, so query
-    # timings measure the plans, not first-job session startup
+    # untimed warmup: one scan (JVM/codegen/parquet footers) + spin up the
+    # per-core Python UDF workers (pandas imports) — a long-lived cluster
+    # pays both once, not per query
     qs["fingerprints"](spark, sf_dir).count()
+
+    def _ident(batches):
+        for pdf in batches:
+            yield pdf
+
+    cpus = spark.sparkContext.defaultParallelism
+    (spark.range(0, cpus * 4, numPartitions=cpus * 4)
+     .mapInPandas(_ident, "id long").count())
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
