@@ -37,7 +37,9 @@ def main() -> None:
     eng.build_index(gen_pages_spark(spark, 400))
     qe = eng.query_engine
     terms = qe.analyze("леопард обитает")
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(os.environ.get(
+        "SPARK_GRAFT_DOCS",
+        "/root/testdata/sf0.001/documents.parquet"))
 
     sections = [
         ("Exact BM25 candidates — partition-pruned postings scan "

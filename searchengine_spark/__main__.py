@@ -98,7 +98,7 @@ def cmd_remove(args) -> None:
 
     spark = _spark("searchengine-remove")
     eng = SearchEngine(spark, args.work)
-    if args.site:
+    if args.site is not None:
         report = eng.remove_site(_fix_argv_encoding(args.site))
     else:
         report = eng.remove_page(_fix_argv_encoding(args.url))

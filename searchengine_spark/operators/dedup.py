@@ -83,12 +83,13 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
                .agg(F.count("*").alias("common")))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    raw = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    # threshold on the RAW ratio (the oracle SQL does the same); rounding
+    # is output formatting only — filtering the rounded value would admit
+    # boundary pairs the oracle rejects
     return (common.join(na, "doc_a").join(nb, "doc_b")
-            .withColumn("jaccard",
-                        F.round(F.col("common")
-                                / (F.col("na") + F.col("nb") - F.col("common")), 6))
-            .filter(F.col("jaccard") >= F.lit(threshold))
-            .select("doc_a", "doc_b", "jaccard"))
+            .filter(raw >= F.lit(threshold))
+            .select("doc_a", "doc_b", F.round(raw, 6).alias("jaccard")))
 
 
 def minhash_band_signatures(sh: DataFrame, k: int = 12,
@@ -164,9 +165,9 @@ def minhash_neardup_pairs(df: DataFrame, k: int = 12, bands: int = 4,
     common = (cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
                   .groupBy("doc_a", "doc_b", "na", "nb")
                   .agg(F.count("*").alias("common")))
+    raw = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    # threshold on the raw ratio, round only for output (oracle parity at
+    # exact threshold boundaries — see jaccard_pairs)
     return (common
-            .withColumn("jaccard",
-                        F.round(F.col("common")
-                                / (F.col("na") + F.col("nb") - F.col("common")), 6))
-            .filter(F.col("jaccard") >= F.lit(threshold))
-            .select("doc_a", "doc_b", "jaccard"))
+            .filter(raw >= F.lit(threshold))
+            .select("doc_a", "doc_b", F.round(raw, 6).alias("jaccard")))

@@ -99,6 +99,10 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     N (all docs, incl. token-less) is a column-pruned count of `docs`."""
     import math
 
+    if not query_terms:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, score double")
+
     tok = tokens(docs, text_col, id_col)
     n = docs.count()
 

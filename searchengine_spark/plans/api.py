@@ -46,7 +46,7 @@ class SearchEngine:
         self._query_engine: QueryEngine | None = None
         self._build_thread: threading.Thread | None = None
         self._build_error: BaseException | None = None
-        self._stop_requested = False
+        self._stop_event: threading.Event | None = None
 
     # --- build (C1) ------------------------------------------------------
 
@@ -65,7 +65,6 @@ class SearchEngine:
         if self.is_indexing():
             return {"result": False, "error": ERR_ALREADY_RUNNING}
         self._build_error = None
-        self._stop_requested = False
         self._stop_event = threading.Event()
         builder = IndexBuilder(self.spark, self.io, self.cfg,
                                stop_event=self._stop_event)
@@ -96,7 +95,6 @@ class SearchEngine:
         checkpoint."""
         if not self.is_indexing():
             return {"result": False, "error": ERR_NOT_RUNNING}
-        self._stop_requested = True
         self._stop_event.set()  # stops between stages (no job to cancel)
         self.spark.sparkContext.cancelJobGroup(self._JOB_GROUP)
         self._build_thread.join(timeout=timeout)

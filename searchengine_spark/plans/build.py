@@ -88,19 +88,24 @@ class IndexBuilder:
         try:
             for s in STAGES:
                 current = s
-                if self.stop_event is not None and self.stop_event.is_set():
-                    raise InterruptedError("build stopped by user")
                 if resume and self.io.stage_complete(s):
                     report[s] = {**self.io.read_manifest(s), "skipped": True}
                     continue
+                if self.stop_event is not None and self.stop_event.is_set():
+                    raise InterruptedError("build stopped by user")
                 self.write_status("INDEXING", stage=s)
                 report[s] = stage_fns[s]().to_json()
         except BaseException as exc:  # incl. job-group cancellation
             msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
-            self.io.write_manifest(StageResult(
-                stage=current, status="aborted", rows=0, bytes=0,
-                wall_ms=int((time.monotonic() - t0) * 1000),
-                extra={"error": msg}))
+            # mark the stage aborted ONLY if it isn't already committed —
+            # a stop landing on a resume-skipped (complete) stage must not
+            # clobber its manifest (vacuum would then treat every file of
+            # the table as dead)
+            if not self.io.stage_complete(current):
+                self.io.write_manifest(StageResult(
+                    stage=current, status="aborted", rows=0, bytes=0,
+                    wall_ms=int((time.monotonic() - t0) * 1000),
+                    extra={"error": msg}))
             self.write_status("FAILED", stage=current, error=msg)
             raise
         self.write_status("INDEXED")

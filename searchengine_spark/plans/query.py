@@ -173,13 +173,15 @@ class QueryEngine:
         if not is_query_valid(query):
             return {"result": False, "error": ERR_NOT_RUSSIAN}
 
+        pre_terms = None
         if strategy == "auto":
-            strategy = self._pick_strategy(query, site, relevance_mode)
+            strategy, pre_terms = self._pick_strategy(query, site,
+                                                      relevance_mode)
 
         if (strategy == "driver" and site is None
                 and relevance_mode == "bm25"):
             return self._search_driver(query, limit, offset, with_snippets,
-                                       count_mode)
+                                       count_mode, terms=pre_terms)
 
         terms = self.analyze(query)
         if not terms:
@@ -203,7 +205,12 @@ class QueryEngine:
             if not hits:
                 # response-shape parity with the exact path: offset past the
                 # last hit of a matching query is result=True + empty data,
-                # only a truly empty candidate set is ERR_NOT_FOUND
+                # only a truly empty candidate set is ERR_NOT_FOUND. WAND at
+                # offset 0 returns hits iff candidates exist, so only the
+                # offset-past-end case ever pays a count job (even under
+                # count_mode="none" — shape correctness needs it there).
+                if offset == 0:
+                    return {"result": False, "error": ERR_NOT_FOUND}
                 if count is None:
                     count = self.candidates_df(terms, site, relevance_mode).count()
                 if count == 0:
@@ -252,44 +259,51 @@ class QueryEngine:
         return {"result": True, "count": count, "data": data}
 
     def _pick_strategy(self, query: str, site: str | None,
-                       relevance_mode: str) -> str:
+                       relevance_mode: str) -> tuple[str, list[dict] | None]:
         """auto routing: driver (one-process columnar read) while every
         query term's posting list is small, distributed WAND above, exact
         whenever the fast paths don't apply (site filter, reference
         relevance, no blocks stage). The df probe is a driver-side pruned
-        dictionary read — no Spark job."""
+        dictionary read — no Spark job; the resolved terms ride along so
+        the driver path doesn't repeat the lookup."""
         if site is not None or relevance_mode != "bm25" \
                 or not self.io.exists("blocks"):
-            return "exact"
+            return "exact", None
         from . import serve
 
         lemmas = list(split_to_lemmas(query))
         if not lemmas:
-            return "exact"
+            return "exact", None
         terms = serve.lookup_terms(self.io, self.cfg, lemmas,
                                    self.stats["n_docs"])
         if not terms:
-            return "exact"
+            return "exact", None
         mx = max(t["df"] for t in terms)
-        return "driver" if mx <= self.cfg.driver_df_limit else "wand"
+        return ("driver" if mx <= self.cfg.driver_df_limit else "wand"), terms
 
     # --- driver-side serving path (plans/serve.py) ------------------------
 
     def _search_driver(self, query: str, limit: int, offset: int,
-                       with_snippets: bool, count_mode: str) -> dict:
+                       with_snippets: bool, count_mode: str,
+                       terms: list[dict] | None = None) -> dict:
         from . import serve
 
-        lemmas = list(split_to_lemmas(query))
-        if not lemmas:
-            return {"result": False, "error": ERR_NOT_FOUND}
-        terms = serve.lookup_terms(self.io, self.cfg, lemmas,
-                                   self.stats["n_docs"])
+        if terms is None:  # auto routing already resolved them otherwise
+            lemmas = list(split_to_lemmas(query))
+            if not lemmas:
+                return {"result": False, "error": ERR_NOT_FOUND}
+            terms = serve.lookup_terms(self.io, self.cfg, lemmas,
+                                       self.stats["n_docs"])
         if not terms:
             return {"result": False, "error": ERR_NOT_FOUND}
         topk = serve.driver_topk(self.io, self.cfg, terms, k=limit,
                                  offset=offset)
         if not topk:
-            # shape parity with the exact path (see wand branch in search())
+            # offset=0 + no hits <=> no candidates at all — no count needed.
+            # Only offset-past-end needs the count for shape parity with
+            # the exact path.
+            if offset == 0:
+                return {"result": False, "error": ERR_NOT_FOUND}
             count = serve.driver_count_candidates(self.io, self.cfg, terms)
             if count == 0:
                 return {"result": False, "error": ERR_NOT_FOUND}

@@ -280,6 +280,9 @@ def resolve_layout(io: TableIO, cfg):
     import dataclasses
 
     over = {}
+    dm = io.read_manifest("docs")
+    if dm and "doc_id_buckets" in dm.get("extra", {}):
+        over["doc_id_buckets"] = int(dm["extra"]["doc_id_buckets"])
     pm = io.read_manifest("postings")
     if pm and "term_buckets" in pm.get("extra", {}):
         over["term_buckets"] = int(pm["extra"]["term_buckets"])

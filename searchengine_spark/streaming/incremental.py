@@ -51,6 +51,9 @@ def upsert_docs(spark, io: TableIO, cfg: EngineConfig,
                 changed_pages: DataFrame) -> dict:
     """C3 indexPage generalized to a batch of pages: replace-by-url with
     stable ids and bucket-scoped index maintenance."""
+    from ..sources.tableio import resolve_layout
+
+    cfg = resolve_layout(io, cfg)  # write with the index's OWN layout
     old_docs = io.read("docs")
     incoming = extract_docs(changed_pages)
 
@@ -86,6 +89,11 @@ def remove_docs(spark, io: TableIO, cfg: EngineConfig,
                 site: str | None = None, url: str | None = None) -> dict:
     """S7 (site cascade delete) / S8 (page delete + df recompute): purge
     the victims' postings from their terms' buckets only."""
+    from ..sources.tableio import resolve_layout
+
+    if site is None and url is None:
+        raise ValueError("remove_docs requires site= or url=")
+    cfg = resolve_layout(io, cfg)  # write with the index's OWN layout
     docs = io.read("docs")
     cond = F.lit(True)
     if site is not None:

@@ -75,13 +75,13 @@ def test_auto_strategy_routes_and_matches(built_engine):
            [h["doc_id"] for h in exact["data"]]
 
     qe = eng.query_engine
-    assert qe._pick_strategy(q, None, "bm25") == "driver"
-    assert qe._pick_strategy(q, "anysite", "bm25") == "exact"
-    assert qe._pick_strategy(q, None, "reference") == "exact"
+    assert qe._pick_strategy(q, None, "bm25")[0] == "driver"
+    assert qe._pick_strategy(q, "anysite", "bm25")[0] == "exact"
+    assert qe._pick_strategy(q, None, "reference")[0] == "exact"
 
     tiny = QueryEngine(eng.spark, eng.io,
                        dataclasses.replace(eng.cfg, driver_df_limit=0))
-    assert tiny._pick_strategy(q, None, "bm25") == "wand"
+    assert tiny._pick_strategy(q, None, "bm25")[0] == "wand"
     wand_auto = tiny.search(q, limit=5, strategy="auto")
     assert [h["doc_id"] for h in wand_auto["data"]] == \
            [h["doc_id"] for h in exact["data"]]

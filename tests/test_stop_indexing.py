@@ -89,3 +89,83 @@ def test_statistics_status_surface(built_engine):
                             "error", "status_time"}
         assert row["status"] == "INDEXED"
         assert row["name"] == row["site"]
+
+
+def test_stop_on_resume_never_clobbers_completed_manifests(spark, work):
+    """A stop landing while a resume build is skipping completed stages
+    must not overwrite any completed stage's manifest with an aborted one
+    (vacuum would then see files=[] and delete the whole table)."""
+    import threading
+
+    from searchengine_spark.plans.build import IndexBuilder
+    from searchengine_spark.sources.corpus import gen_pages_spark
+
+    eng = SearchEngine(spark, work)
+    eng.build_index(gen_pages_spark(spark, 120, partitions=4))
+    # invalidate only the last stage; docs..stats stay complete
+    io = eng.io
+    import os
+    os.remove(io._manifest_path("blocks"))
+
+    ev = threading.Event()
+    ev.set()  # stop already requested when the resume starts
+    builder = IndexBuilder(spark, io, eng.cfg, stop_event=ev)
+    with pytest.raises(InterruptedError):
+        builder.build(gen_pages_spark(spark, 120, partitions=4), resume=True)
+
+    for s in ("docs", "postings", "terms", "stats"):
+        m = io.read_manifest(s)
+        assert m["status"] == "complete", s
+        if s != "stats":  # stats is scalar meta — no data files by design
+            assert m["files"], s
+        assert io.vacuum(s) == 0  # nothing deletable
+    assert io.read_manifest("blocks")["status"] == "aborted"
+    # resume without the stop completes and the index serves
+    eng.build_index(gen_pages_spark(spark, 120, partitions=4), resume=True)
+    assert eng.search("леопард обитает")["result"] is True
+
+
+def test_incremental_respects_index_layout(spark, work):
+    """upsert/remove through an engine whose live cfg disagrees with the
+    index layout must write to the index's own term_buckets."""
+    from searchengine_spark import oracle as O
+    from searchengine_spark.config import EngineConfig
+    from searchengine_spark.sources.corpus import (gen_pages_local,
+                                                   gen_pages_spark)
+
+    builder_eng = SearchEngine(spark, work, EngineConfig(term_buckets=8))
+    builder_eng.build_index(gen_pages_spark(spark, 120, partitions=4))
+
+    foreign = SearchEngine(spark, work)  # default cfg says 64 buckets
+    base = gen_pages_local(120)
+    victim = base[7]
+    foreign.remove_page(victim["url"])
+
+    idx = O.build_index([p for p in base if p["url"] != victim["url"]])
+    got = {r["term"]: (r["df"], r["cf"])
+           for r in foreign.io.read("terms").collect()}
+    assert got == {t: (idx.df[t], idx.cf[t]) for t in idx.df}
+    # no stray 64-bucket partition dirs were created
+    import os
+    buckets = {d for d in os.listdir(foreign.io.path("postings"))
+               if d.startswith("term_bucket=")}
+    assert all(int(b.split("=")[1]) < 8 for b in buckets), buckets
+
+
+def test_remove_docs_requires_target(spark, work):
+    from searchengine_spark.sources.corpus import gen_pages_spark
+    from searchengine_spark.streaming.incremental import remove_docs
+
+    eng = SearchEngine(spark, work)
+    eng.build_index(gen_pages_spark(spark, 60, partitions=2))
+    with pytest.raises(ValueError):
+        remove_docs(spark, eng.io, eng.cfg)
+
+
+def test_bm25_topk_empty_query_returns_empty(spark):
+    from searchengine_spark.operators.relational_search import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = bm25_topk(docs, [], k=5)
+    assert out.columns == ["doc_id", "score"]
+    assert out.count() == 0
