@@ -105,6 +105,18 @@ def cmd_remove(args) -> None:
     print(json.dumps(report, ensure_ascii=False))
 
 
+def cmd_vacuum(args) -> None:
+    """Remove data files not referenced by the stage manifests (debris of
+    an interrupted partition commit) — run before serving after a crash."""
+    from searchengine_spark.sources.tableio import TableIO
+
+    spark = _spark("searchengine-vacuum")
+    io = TableIO(spark, args.work)
+    removed = {t: io.vacuum(t)
+               for t in ("docs", "postings", "terms", "blocks")}
+    print(json.dumps({"removed_files": removed}))
+
+
 def cmd_gen(args) -> None:
     from searchengine_spark.sources.corpus import gen_pages_spark
 
@@ -156,6 +168,10 @@ def main(argv: list[str] | None = None) -> None:
     grp.add_argument("--site", default=None)
     grp.add_argument("--url", default=None)
     rm.set_defaults(fn=cmd_remove)
+
+    vc = sub.add_parser("vacuum", help="drop unreferenced data files")
+    vc.add_argument("--work", required=True)
+    vc.set_defaults(fn=cmd_vacuum)
 
     g = sub.add_parser("gen", help="write a deterministic synthetic pages table")
     g.add_argument("--out", required=True)
