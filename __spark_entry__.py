@@ -400,21 +400,30 @@ FROM cand WHERE hamming <= {max_hamming}"""
 def _minhash_neardup_sql(k: int | None = None, bands: int | None = None,
                          threshold: float | None = None) -> str:
     """Banded MinHash-LSH near-dup pairs over 3-gram shingles, mirroring
-    dedup.minhash_neardup_pairs: b bands × r rows, exact-Jaccard verify."""
+    dedup.minhash_neardup_pairs: one md5→60-bit int per shingle, k affine
+    minhashes (a_j·h+b_j) mod p, b bands × r rows, exact-Jaccard verify."""
+    from searchengine_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
     k = k if k is not None else MINHASH_K
     bands = bands if bands is not None else MINHASH_BANDS
     threshold = threshold if threshold is not None else JACCARD_THRESHOLD
     r = k // bands
     hs = ", ".join(
-        f"min(md5('{j}:' || sh)) AS h{j}" for j in range(k))
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(k)))
     band_sigs = ", ".join(
-        "md5(" + " || '|' || ".join(f"h{b * r + j}" for j in range(r)) + f") AS s{b}"
+        "md5(" + " || '|' || ".join(
+            f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r))
+        + f") AS s{b}"
         for b in range(bands))
     band_eq = " OR ".join(f"a.s{b} = b.s{b}" for b in range(bands))
     return f"""
 WITH {_TRI},
 sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
-wide AS (SELECT doc_id, {hs} FROM tri GROUP BY doc_id),
+hashed AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+           FROM tri),
+wide AS (SELECT doc_id, {hs} FROM hashed GROUP BY doc_id),
 bs AS (SELECT doc_id, {band_sigs} FROM wide),
 cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          FROM bs a JOIN bs b ON a.doc_id < b.doc_id AND ({band_eq})),

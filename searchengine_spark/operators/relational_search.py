@@ -99,6 +99,11 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     N (all docs, incl. token-less) is a column-pruned count of `docs`."""
     import math
 
+    # dedupe while preserving order: a duplicated query term must count
+    # once (the old count_distinct==|Q| AND filter returned no rows for
+    # dup lists; the per-term column form would double-count its score) —
+    # and the aggregate width stays bounded by the distinct term count
+    query_terms = list(dict.fromkeys(query_terms))
     if not query_terms:
         return docs.sparkSession.createDataFrame(
             [], "doc_id long, score double")

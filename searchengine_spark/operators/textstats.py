@@ -17,9 +17,22 @@ from pyspark.sql import functions as F
 EN_STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "is", "on", "for"]
 
 
+def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Widen a narrow-source frame to the session's parallelism before
+    explode-heavy work. At web scale inputs arrive as thousands of file
+    splits and this is a no-op; it guards the degenerate few-big-files
+    case (e.g. one parquet file ⇒ one input split) where a single task
+    would otherwise own the whole corpus' tokenize/shingle map side —
+    measured 5× on the dedup family at sf0.1 (single-file input)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, pos, term) — whitespace tokenization, empties dropped."""
-    return (df
+    return (spread_input(df)
             .select(F.col(id_col).alias("doc_id"),
                     F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"))
             .filter(F.col("term") != ""))

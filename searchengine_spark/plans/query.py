@@ -67,6 +67,11 @@ class QueryEngine:
         for t in ("postings", "terms", "blocks", "docs"):
             if not self.io.exists(t):
                 continue  # the one expected absence: table never built
+            if not self.io.stage_complete(t):
+                raise RuntimeError(
+                    f"table '{t}' exists but its stage is not complete "
+                    "(aborted/interrupted build) — refusing to serve it; "
+                    "resume the build first")
             # serving reads directories via pyarrow (plans/serve.py) —
             # clear any interrupted-commit debris so dir == snapshot
             self.io.vacuum(t)
@@ -266,8 +271,12 @@ class QueryEngine:
         relevance, no blocks stage). The df probe is a driver-side pruned
         dictionary read — no Spark job; the resolved terms ride along so
         the driver path doesn't repeat the lookup."""
+        # gate on stage_complete, not directory existence: after a stopped/
+        # failed build the blocks dir holds a partially written stage
+        # (aborted manifest) and the fast paths would silently serve
+        # incomplete results where exact is safe
         if site is not None or relevance_mode != "bm25" \
-                or not self.io.exists("blocks"):
+                or not self.io.stage_complete("blocks"):
             return "exact", None
         from . import serve
 

@@ -151,21 +151,94 @@ class TableIO:
         the directory currently holds — so an interrupted partition
         overwrite (which adds new-generation files before the manifest
         swap) can never surface duplicate or partial data to the Spark
-        paths. basePath keeps hive partition columns + pruning."""
+        paths. basePath keeps hive partition columns + pruning.
+
+        Strictness: a COMPLETE manifest whose listed files are missing on
+        disk is corruption (someone deleted committed data) — raise rather
+        than silently serving a partial snapshot. A non-complete (aborted)
+        manifest likewise raises: readers must resume/rebuild the stage,
+        never consume a half-written table. Only a manifest-less directory
+        (fresh build in progress, pre-manifest layout) gets the raw read."""
         base = self.path(table)
         m = self.read_manifest(table)
+        if m is None:
+            return self.spark.read.parquet(base)
+        if m.get("status") != "complete":
+            raise RuntimeError(
+                f"table '{table}' manifest status is "
+                f"{m.get('status')!r} — stage aborted/incomplete; resume "
+                "the build instead of reading it")
         files = [os.path.join(self.work_dir, f["path"])
-                 for f in (m or {}).get("files", [])]
-        files = [p for p in files if os.path.exists(p)]
-        if m is None or not files:
+                 for f in m.get("files", [])]
+        missing = [p for p in files if not os.path.exists(p)]
+        if missing:
+            raise RuntimeError(
+                f"table '{table}' manifest references {len(missing)} "
+                f"missing file(s) (first: {missing[0]}) — committed data "
+                "was deleted out-of-band; rebuild the stage")
+        if not files:
             return self.spark.read.parquet(base)
         return self.spark.read.option("basePath", base).parquet(*files)
+
+    # --- commit lock ----------------------------------------------------
+    #
+    # Writers are SINGLE-WRITER by contract (one build/upsert/vacuum at a
+    # time per work_dir — the Iceberg analog is optimistic-concurrency
+    # commit conflict detection, which this parquet emulation does not
+    # implement). The lock below guards the one race that would corrupt
+    # data even under honest single-writer use: vacuum() running while an
+    # overwrite_partitions commit is mid-flight (its fresh gen-* files are
+    # on disk but not yet in the manifest, so an unguarded vacuum would
+    # delete them and the subsequent manifest swap would commit references
+    # to deleted files).
+
+    def _acquire_commit_lock(self, blocking: bool) -> bool:
+        lock = os.path.join(self.work_dir, "_commit.lock")
+        deadline = time.monotonic() + 600.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return True
+            except FileExistsError:
+                # stale-lock takeover: a crashed writer never unlinks
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder released between open and stat
+                if age > 900:
+                    try:
+                        os.remove(lock)
+                    except OSError:
+                        pass
+                    continue
+                if not blocking:
+                    return False
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock held too long: {lock}")
+                time.sleep(0.05)
+
+    def _release_commit_lock(self) -> None:
+        try:
+            os.remove(os.path.join(self.work_dir, "_commit.lock"))
+        except FileNotFoundError:
+            pass
 
     def vacuum(self, table: str) -> int:
         """Delete data files not referenced by the table's manifest —
         debris from an interrupted partition overwrite. Returns the number
-        of files removed. Safe any time: live files are exactly the
-        manifest's."""
+        of files removed. Takes the commit lock (non-blocking): if a commit
+        is in flight its uncommitted gen-* files must survive, so vacuum
+        simply skips (the committer vacuums after its manifest swap)."""
+        if not self._acquire_commit_lock(blocking=False):
+            return 0
+        try:
+            return self._vacuum_locked(table)
+        finally:
+            self._release_commit_lock()
+
+    def _vacuum_locked(self, table: str) -> int:
         m = self.read_manifest(table)
         if m is None:
             return 0
@@ -211,9 +284,23 @@ class TableIO:
         target = self.path(table)
         tmp = os.path.join(self.work_dir, f"_tmp_{table}")
         shutil.rmtree(tmp, ignore_errors=True)
-        self.vacuum(table)
         t0 = time.monotonic()
+        # the Spark write (step 2, side dir) runs outside the lock — it
+        # touches no live files; the lock covers vacuum + move + swap
         df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        self._acquire_commit_lock(blocking=True)
+        try:
+            return self._commit_partitions(
+                df, stage, partition_col, values, table, extra_update,
+                tmp, target, t0)
+        finally:
+            self._release_commit_lock()
+
+    def _commit_partitions(self, df, stage, partition_col, values, table,
+                           extra_update, tmp, target, t0) -> StageResult:
+        import uuid
+
+        self._vacuum_locked(table)
         gen = uuid.uuid4().hex[:12]
         replaced = [f"{partition_col}={v}" for v in values]
         fresh = []
@@ -253,7 +340,7 @@ class TableIO:
             wall_ms=old.get("wall_ms", 0) + wall_ms,
             files=files, extra=extra)
         self.write_manifest(result)  # atomic commit point
-        self.vacuum(table)
+        self._vacuum_locked(table)
         return result
 
     # --- scalar metadata (corpus stats etc.) ----------------------------
