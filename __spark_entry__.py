@@ -171,12 +171,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), k=MINHASH_K, bands=MINHASH_BANDS,
             n=JACCARD_N, threshold=JACCARD_THRESHOLD)
 
+    def q_dedup_minhash_components(spark, sf):
+        # cluster resolution: components over the minhash pair graph,
+        # singletons labelled with themselves (full-corpus coverage)
+        docs = _docs(spark, sf)
+        pairs = dedup.minhash_neardup_pairs(
+            docs, k=MINHASH_K, bands=MINHASH_BANDS,
+            n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+        comp = dedup.neardup_components(pairs)
+        in_pairs = comp.select(F.col("node").alias("doc_id"), "component")
+        singles = (docs.select("doc_id")
+                   .join(in_pairs.select("doc_id"), "doc_id", "left_anti")
+                   .withColumn("component", F.col("doc_id")))
+        return in_pairs.unionByName(singles)
+
+    def q_dedup_minhash_keep(spark, sf):
+        docs = _docs(spark, sf)
+        return dedup.minhash_keep_first(
+            docs, k=MINHASH_K, bands=MINHASH_BANDS,
+            n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+
     def q_dedup_simhash(spark, sf):
         return ts.simhash16(ts.term_frequencies(_docs(spark, sf)))
 
     def q_dedup_simhash64_pairs(spark, sf):
         return ts.simhash_neardup_pairs(_docs(spark, sf),
                                         max_hamming=SIMHASH_MAX_HAMMING)
+
+    def q_dedup_simhash_keep(spark, sf):
+        docs = _docs(spark, sf)
+        pairs = ts.simhash_neardup_pairs(docs,
+                                         max_hamming=SIMHASH_MAX_HAMMING)
+        return dedup.neardup_keep_first(docs, pairs)
 
     # similarity family
     def q_knn_cosine(spark, sf):
@@ -287,8 +313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash_components": q_dedup_minhash_components,
+        "dedup_minhash_keep": q_dedup_minhash_keep,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
+        "dedup_simhash_keep": q_dedup_simhash_keep,
         "knn_cosine": q_knn_cosine,
         "lsh_buckets": q_lsh_buckets,
         "lsh_ann": q_lsh_ann,
@@ -435,6 +464,31 @@ SELECT da AS doc_a, db AS doc_b,
        round(cm * 1.0 / (sa.n + sb.n - cm), 6) AS jaccard
 FROM common JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
 WHERE cm * 1.0 / (sa.n + sb.n - cm) >= {threshold}"""
+
+
+def _components_sql(pair_sql: str, keep_only: bool) -> str:
+    """Connected components over a (doc_a, doc_b, ...) pair-graph query via
+    a recursive CTE: min-label propagation (a label spreads to a neighbor
+    only while smaller — the min of each component reaches every member
+    because it is smaller than all of them). Singletons label themselves
+    via the all-documents base case. keep_only=True returns the kept doc
+    ids (doc == component min), i.e. the drop-list complement."""
+    final = ("SELECT doc_id FROM comp WHERE doc_id = component"
+             if keep_only else "SELECT doc_id, component FROM comp")
+    return f"""
+WITH RECURSIVE
+mh AS ({pair_sql}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM mh
+          UNION ALL SELECT doc_b, doc_a FROM mh),
+reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+  WHERE r.label < e.b
+),
+comp AS (SELECT node AS doc_id, min(label) AS component
+         FROM reach GROUP BY node)
+{final}"""
 
 
 def _in_list(terms: list[str]) -> str:
@@ -591,6 +645,12 @@ SELECT doc_a, doc_b,
 FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}""",
         "dedup_minhash_pairs": _minhash_neardup_sql(),
+        "dedup_minhash_components": _components_sql(_minhash_neardup_sql(),
+                                                    keep_only=False),
+        "dedup_minhash_keep": _components_sql(_minhash_neardup_sql(),
+                                              keep_only=True),
+        "dedup_simhash_keep": _components_sql(_simhash64_neardup_sql(),
+                                              keep_only=True),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64_pairs": _simhash64_neardup_sql(),
         "knn_cosine": f"""

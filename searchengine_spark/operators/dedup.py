@@ -196,3 +196,83 @@ def minhash_neardup_pairs(df: DataFrame, k: int = 12, bands: int = 4,
     return (common
             .filter(raw >= F.lit(threshold))
             .select("doc_a", "doc_b", F.round(raw, 6).alias("jaccard")))
+
+
+def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(node, component) — connected components over an undirected pair
+    graph (e.g. minhash_neardup_pairs / simhash_neardup_pairs output);
+    component = the MINIMUM doc_id of the component. Covers only nodes that
+    appear in some pair — singletons trivially label themselves and are
+    handled by the callers (neardup_keep_first) without materializing an
+    all-docs label frame.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (label ← label-of-label each round), so convergence is O(log diameter)
+    rounds, not O(diameter) — the DataFrame rendition of path-halving
+    union-find (the same plan family as large-star/small-star, Kiveris et
+    al., "Connected Components in MapReduce"). Each round is two
+    shuffle-joins + one aggregate on a frame of O(duplicate docs) rows —
+    near-dup graphs are tiny relative to the corpus, and labels are pairs
+    of longs, so even a billion-dup-doc graph is a few GB of shuffle.
+    Lineage is cut per round (localCheckpoint); convergence is detected by
+    the strictly-decreasing Σlabel fixpoint (one scalar agg per round, no
+    extra join). max_iter bounds pathological chains; 25 rounds covers
+    diameter 2^25."""
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .unionByName(
+                 pairs.select(F.col("doc_b").alias("src"),
+                              F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["src"] == labels["node"])
+               .select(F.col("dst").alias("node"), F.col("label")))
+        merged = (labels.unionByName(nbr)
+                  .groupBy("node").agg(F.min("label").alias("label")))
+        # pointer jump: label ← label(label); every label value is itself
+        # a node (labels are node ids), so the join always matches
+        ptr = merged.select(F.col("node").alias("pnode"),
+                            F.col("label").alias("plabel"))
+        labels = (merged.join(ptr, merged["label"] == ptr["pnode"], "left")
+                  .select("node",
+                          F.coalesce("plabel", "label").alias("label"))
+                  .localCheckpoint(eager=True))
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def neardup_keep_first(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Retained doc ids after near-dup cluster resolution: for every
+    connected component of the pair graph keep the minimum doc_id, drop the
+    rest; docs in no pair keep themselves. This is the operator a training
+    pipeline actually consumes — a drop-list, not a pair list.
+
+    One anti-join against the O(duplicates) drop set — the corpus-sized
+    side is never shuffled wide (the join key is the 8-byte doc_id and the
+    drop side broadcasts while duplicates are < broadcast threshold)."""
+    comp = neardup_components(pairs)
+    drop = (comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col)))
+    return (docs.select(F.col(id_col).alias(id_col))
+            .join(drop, id_col, "left_anti")
+            .select(id_col))
+
+
+def minhash_keep_first(df: DataFrame, k: int = 12, bands: int = 4,
+                       n: int = 3, threshold: float = 0.5,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """End-to-end MinHash near-dup dedup: banded-LSH pairs -> connected
+    components -> keep min-doc-per-cluster. Exact duplicates should be
+    pre-collapsed with exact_keep_first on giant-dup-cluster corpora (see
+    minhash_neardup_pairs scale notes)."""
+    pairs = minhash_neardup_pairs(df, k, bands, n, threshold,
+                                  text_col, id_col)
+    return neardup_keep_first(df, pairs, id_col)

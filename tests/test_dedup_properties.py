@@ -85,6 +85,99 @@ def test_simhash_banding_equals_bruteforce(spark, seed):
     assert got == brute  # pigeonhole: banding loses nothing at radius 3
 
 
+def _union_find(nodes, pairs):
+    """Reference union-find: {node: min doc of its component}."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def _mk_cluster_docs(spark, rng, cluster_sizes=(3, 4, 2), n_unique=12):
+    """Corpus with planted ≥3-doc near-dup clusters: each cluster shares a
+    long common base and differs by one trailing unique word."""
+    vocab = [f"c{i}" for i in range(200)]
+    rows, nid = [], 0
+    for size in cluster_sizes:
+        base = [rng.choice(vocab) for _ in range(30)]
+        for _ in range(size):
+            rows.append((nid, " ".join(base + [f"uniq{nid}"])))
+            nid += 1
+    for _ in range(n_unique):
+        rows.append((nid, " ".join(rng.choice(vocab)
+                                   for _ in range(rng.randrange(15, 35)))))
+        nid += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_neardup_components_match_union_find(spark, seed):
+    from searchengine_spark.operators.dedup import (minhash_neardup_pairs,
+                                                    neardup_components)
+
+    rng = random.Random(seed)
+    docs = _mk_cluster_docs(spark, rng)
+    pairs = minhash_neardup_pairs(docs, k=12, bands=4, n=3, threshold=0.5)
+    pair_rows = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert pair_rows, "fixture must produce near-dup pairs"
+    nodes = {x for p in pair_rows for x in p}
+    want = _union_find(nodes, pair_rows)
+    got = {r["node"]: r["component"]
+           for r in neardup_components(pairs).collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_minhash_keep_first_collapses_planted_clusters(spark, seed):
+    """Drop-list semantics on planted 3+-doc clusters: each cluster keeps
+    exactly its min doc_id, unique docs all survive."""
+    from searchengine_spark.operators.dedup import (minhash_keep_first,
+                                                    minhash_neardup_pairs)
+
+    rng = random.Random(seed)
+    sizes = (3, 4, 2)
+    docs = _mk_cluster_docs(spark, rng, cluster_sizes=sizes)
+    kept = sorted(r["doc_id"]
+                  for r in minhash_keep_first(docs, k=12, bands=4, n=3,
+                                              threshold=0.5).collect())
+    # oracle: union-find over the SAME pair graph
+    pair_rows = [(r["doc_a"], r["doc_b"])
+                 for r in minhash_neardup_pairs(docs, k=12, bands=4, n=3,
+                                                threshold=0.5).collect()]
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    comp = _union_find(set(all_ids), pair_rows)
+    want = sorted(n for n in all_ids if comp[n] == n)
+    assert kept == want
+    # the planted clusters must have actually collapsed: cluster c spans
+    # ids [start, start+size) and near-identical texts => only min survives
+    start = 0
+    for size in sizes:
+        ids = set(range(start, start + size))
+        assert ids & set(kept) == {start}
+        start += size
+
+
+def test_components_chain_converges(spark):
+    """A long chain (worst-case diameter) still converges within max_iter
+    thanks to pointer jumping: chain of 40 nodes => one component."""
+    from searchengine_spark.operators.dedup import neardup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long")
+    got = {r["node"]: r["component"]
+           for r in neardup_components(pairs).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
 def test_simhash64_halves_are_32bit(spark):
     from searchengine_spark.operators.textstats import (simhash64,
                                                         term_frequencies)
