@@ -126,6 +126,60 @@ def bm25_tfpart(tf: float, dl: float, avgdl: float,
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+# --- vectorized (numpy) decode — the query-path hot kernels ------------------
+#
+# The per-row Python loops these replace were the documented slow path of
+# WAND tasks and driver serving (decode + tfpart per posting). The numpy
+# forms below are pure array ops over the same byte layout — no layout
+# change, byte-identical results (property-tested against the scalar codec).
+
+
+def np_varint_decode(buf: bytes):
+    """varint stream -> int64 ndarray, fully vectorized.
+
+    General case: terminator bytes (high bit clear) end each value; the
+    byte's 7-bit payload is shifted by 7·(position within its value) and
+    summed per value with np.add.reduceat. Fast path: no continuation bits
+    at all (the common case for delta gaps and tfs) is a plain cast."""
+    import numpy as np
+
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size == 0:
+        return np.empty(0, dtype=np.int64)
+    if a[-1] & 0x80:
+        raise ValueError("truncated varint stream")
+    cont = (a & 0x80) != 0
+    if not cont.any():
+        return a.astype(np.int64)
+    term = ~cont
+    ends = np.flatnonzero(term)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    gid = np.cumsum(term) - term  # group index of each byte
+    offsets = np.arange(a.size, dtype=np.int64) - starts[gid]
+    payload = (a & 0x7F).astype(np.int64) << (7 * offsets)
+    return np.add.reduceat(payload, starts)
+
+
+def np_decode_posting_block(docs_bin: bytes, tfs_bin: bytes, dls_bin: bytes):
+    """(doc_ids, tfs, dls) int64 ndarrays; doc_ids via cumsum delta decode."""
+    import numpy as np
+
+    return (np.cumsum(np_varint_decode(docs_bin)),
+            np_varint_decode(tfs_bin),
+            np_varint_decode(dls_bin))
+
+
+def np_bm25_tfpart(tf, dl, avgdl: float, k1: float = 1.2, b: float = 0.75):
+    """Vectorized idf-independent BM25 factor over posting arrays.
+    Operation order mirrors the scalar bm25_tfpart exactly ((b·dl)/avgdl,
+    not b·(dl/avgdl)) so both paths produce bit-identical doubles."""
+    t = tf.astype("float64")
+    d = dl.astype("float64")
+    return t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * d / avgdl))
+
+
 BLOCKS_SCHEMA = StructType([
     StructField("term", StringType(), False),
     StructField("shard", IntegerType(), False),

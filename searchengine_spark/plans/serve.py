@@ -29,7 +29,8 @@ import math
 import os
 
 from ..config import EngineConfig
-from ..operators.postings import bm25_tfpart, decode_posting_block
+from ..operators.postings import (np_bm25_tfpart, np_decode_posting_block,
+                                  np_varint_decode)
 from .wand import term_bucket_col_val
 
 
@@ -65,7 +66,10 @@ def lookup_terms(io, cfg: EngineConfig, lemmas: list[str],
 def driver_topk(io, cfg: EngineConfig, terms: list[dict], k: int,
                 offset: int = 0) -> list[tuple[int, float]]:
     """Top-(offset+k) (doc_id, score) — rarest-first AND intersection with
-    doc-range block skipping over the compressed blocks, one process."""
+    doc-range block skipping over the compressed blocks, one process.
+    Decode + scoring numpy-vectorized (cumsum delta decode, array tfpart,
+    sorted-array intersection) — no per-posting Python loop."""
+    import numpy as np
     import pyarrow.dataset as ds
 
     stats = io.read_meta("stats")
@@ -88,35 +92,45 @@ def driver_topk(io, cfg: EngineConfig, terms: list[dict], k: int,
         if row["term"] in per_term:
             per_term[row["term"]].append(row)
 
-    cand: dict[int, float] | None = None
+    cand_docs = None  # int64 ndarray, ascending, unique
+    cand_scores = None
     for t in term_order:
         blocks = per_term[t]
-        if cand is not None:
-            if not cand:
+        if cand_docs is not None:
+            if cand_docs.size == 0:
                 return []
-            lo, hi = min(cand), max(cand)
+            lo, hi = int(cand_docs[0]), int(cand_docs[-1])
             blocks = [r for r in blocks
                       if r["doc_max"] >= lo and r["doc_min"] <= hi]
-        nxt: dict[int, float] = {}
+        parts_d, parts_s = [], []
         idf_t = idf[t]
         for r in blocks:
-            dsx, ts, ls = decode_posting_block(
+            dsx, ts, ls = np_decode_posting_block(
                 bytes(r["docs_bin"]), bytes(r["tfs_bin"]),
                 bytes(r["dls_bin"]))
-            if cand is None:
-                for doc, tf, dl in zip(dsx, ts, ls):
-                    nxt[doc] = idf_t * bm25_tfpart(tf, dl, avgdl, k1, b)
-            else:
-                for doc, tf, dl in zip(dsx, ts, ls):
-                    prev = cand.get(doc)
-                    if prev is not None:
-                        nxt[doc] = prev + idf_t * bm25_tfpart(
-                            tf, dl, avgdl, k1, b)
-        cand = nxt
-    if not cand:
+            if dsx.size:
+                parts_d.append(dsx)
+                parts_s.append(idf_t * np_bm25_tfpart(ts, ls, avgdl, k1, b))
+        if not parts_d:
+            cand_docs = np.empty(0, dtype=np.int64)
+            cand_scores = np.empty(0, dtype=np.float64)
+            continue
+        d_all = np.concatenate(parts_d)
+        s_all = np.concatenate(parts_s)
+        if cand_docs is None:
+            order = np.argsort(d_all, kind="stable")
+            cand_docs, cand_scores = d_all[order], s_all[order]
+        else:
+            common, ia, ib = np.intersect1d(
+                cand_docs, d_all, assume_unique=True, return_indices=True)
+            cand_docs = common
+            cand_scores = cand_scores[ia] + s_all[ib]
+    if cand_docs is None or cand_docs.size == 0:
         return []
     kprime = offset + k
-    top = heapq.nsmallest(kprime, cand.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = heapq.nsmallest(
+        kprime, zip(cand_docs.tolist(), cand_scores.tolist()),
+        key=lambda kv: (-kv[1], kv[0]))
     return [(d_, s) for d_, s in top[offset:]]
 
 
@@ -148,19 +162,21 @@ def driver_count_candidates(io, cfg: EngineConfig, terms: list[dict]) -> int:
     tbl = d.to_table(
         filter=(ds.field("term_bucket").isin(buckets)
                 & ds.field("term").isin(term_order)),
-        columns=["term", "docs_bin", "tfs_bin", "dls_bin"])
-    cand: set[int] | None = None
-    by_term: dict[str, set[int]] = {t: set() for t in term_order}
+        columns=["term", "docs_bin"])  # count needs doc ids only
+    import numpy as np
+
+    by_term: dict[str, list] = {t: [] for t in term_order}
     for i in range(tbl.num_rows):
         t = tbl["term"][i].as_py()
         if t in by_term:
-            dsx, _, _ = decode_posting_block(
-                bytes(tbl["docs_bin"][i].as_py()),
-                bytes(tbl["tfs_bin"][i].as_py()),
-                bytes(tbl["dls_bin"][i].as_py()))
-            by_term[t].update(dsx)
+            by_term[t].append(np.cumsum(np_varint_decode(
+                bytes(tbl["docs_bin"][i].as_py()))))
+    cand = None
     for t in term_order:
-        cand = by_term[t] if cand is None else cand & by_term[t]
-        if not cand:
+        docs_t = (np.concatenate(by_term[t]) if by_term[t]
+                  else np.empty(0, dtype=np.int64))
+        cand = docs_t if cand is None else np.intersect1d(
+            cand, docs_t, assume_unique=True)
+        if cand.size == 0:
             return 0
-    return len(cand or ())
+    return int(cand.size) if cand is not None else 0

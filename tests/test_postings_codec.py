@@ -59,6 +59,53 @@ def test_block_roundtrip(postings):
     assert (d2, t2, l2) == (ds, ts, ls)
 
 
+@given(st.lists(ints, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_np_varint_matches_scalar(xs):
+    from searchengine_spark.operators.postings import np_varint_decode
+
+    buf = varint_encode(xs)
+    assert np_varint_decode(buf).tolist() == varint_decode(buf) == xs
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 10**10), st.integers(1, 1000),
+              st.integers(1, 100000)),
+    min_size=1, max_size=128, unique_by=lambda t: t[0]))
+@settings(max_examples=200, deadline=None)
+def test_np_block_decode_matches_scalar(postings):
+    from searchengine_spark.operators.postings import np_decode_posting_block
+
+    postings.sort()
+    ds = [p[0] for p in postings]
+    ts = [p[1] for p in postings]
+    ls = [p[2] for p in postings]
+    enc = encode_posting_block(ds, ts, ls)
+    d2, t2, l2 = np_decode_posting_block(*enc)
+    assert (d2.tolist(), t2.tolist(), l2.tolist()) == (ds, ts, ls)
+
+
+def test_np_varint_rejects_truncated():
+    import pytest
+
+    from searchengine_spark.operators.postings import np_varint_decode
+
+    with pytest.raises(ValueError):
+        np_varint_decode(varint_encode([300])[:-1])
+
+
+def test_np_tfpart_bit_identical_to_scalar():
+    import numpy as np
+
+    from searchengine_spark.operators.postings import np_bm25_tfpart
+
+    tfs = np.array([1, 2, 5, 20, 997], dtype=np.int64)
+    dls = np.array([1, 50, 100, 5000, 100000], dtype=np.int64)
+    got = np_bm25_tfpart(tfs, dls, 123.456)
+    for i in range(len(tfs)):
+        assert got[i] == bm25_tfpart(int(tfs[i]), int(dls[i]), 123.456)
+
+
 def test_compression_beats_fixed_width():
     """Dense ascending ids (the common case after our dense doc-id
     assignment) must compress far below 8 bytes/doc."""
