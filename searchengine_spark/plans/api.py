@@ -158,3 +158,12 @@ class SearchEngine:
         report = remove_docs(self.spark, self.io, self.cfg, url=url)
         self._query_engine = None
         return report
+
+    def resume_upsert(self) -> dict | None:
+        """Replay an interrupted upsert/remove from its durable _delta/
+        staging (the C3 analog of build_index(resume=True)); None when
+        nothing is pending."""
+        from ..streaming.incremental import resume_delta
+        report = resume_delta(self.spark, self.io, self.cfg)
+        self._query_engine = None
+        return report

@@ -38,7 +38,7 @@ from ..functions.udfs import (extract_docs, tokens_from_docs,
 from ..operators.doc_ids import attach_doc_ids, compute_bucket_offsets
 from ..sources.tableio import TableIO
 
-STAGES = ["docs", "postings", "terms", "stats", "blocks"]
+STAGES = ["docs", "postings", "terms", "stats", "site_stats", "blocks"]
 
 
 def term_bucket_col(term_col, n_buckets: int):
@@ -80,6 +80,7 @@ class IndexBuilder:
             "postings": self._stage_postings,
             "terms": self._stage_terms,
             "stats": self._stage_stats,
+            "site_stats": self._stage_site_stats,
             "blocks": self._stage_blocks,
         }
         t0 = time.monotonic()
@@ -127,14 +128,26 @@ class IndexBuilder:
         # ids are a function of the url SET only: the bucket-count job runs
         # on a url-only projection (Catalyst prunes the scan; html never
         # loads), then the extract UDF runs exactly once and the id window
-        # shuffles the html-free extracted frame
+        # shuffles the html-free extracted frame.
+        #
+        # The table is PARTITIONED by url_bucket (the same md5 bucket that
+        # orders doc_id assignment, so each partition holds a contiguous
+        # doc_id range — parquet row-group stats stay tight for the
+        # serving path's doc_id point reads) and incremental upserts
+        # rewrite only the touched buckets via overwrite_partitions
+        # (streaming/incremental.py) instead of the whole table.
         offsets = compute_bucket_offsets(pages, self.cfg.doc_id_buckets)
         extracted = extract_docs(pages)
         docs = attach_doc_ids(extracted, offsets, self.cfg.doc_id_buckets)
+        n_b = self.cfg.doc_id_buckets
+        docs = (docs
+                .select("doc_id", "url", "site", "title", "text")
+                .withColumn("url_bucket", url_bucket_col(F.col("url"), n_b))
+                .repartition(n_b, "url_bucket")
+                .sortWithinPartitions("doc_id"))
         return self.io.write_stage(
-            docs.select("doc_id", "url", "site", "title", "text"),
-            "docs",
-            extra={"doc_id_buckets": self.cfg.doc_id_buckets},
+            docs, "docs", partition_by=["url_bucket"],
+            extra={"doc_id_buckets": n_b, "url_bucket_partitioned": True},
         )
 
     def _stage_postings(self):
@@ -192,6 +205,40 @@ class IndexBuilder:
                           wall_ms=int((time.monotonic() - t0) * 1000), extra=stats)
         self.io.write_manifest(res)
         return res
+
+    def _site_stats_frame(self, docs: DataFrame, postings: DataFrame,
+                          buckets: list[int] | None = None) -> DataFrame:
+        """Rows of the precomputed per-site statistics table:
+          (site, term_bucket=b,  pages=0, lemmas=<distinct terms of b>)
+          (site, term_bucket=-1, pages=<page count>, lemmas=0)
+        Distinct (site, term) pairs partition cleanly by term_bucket, so
+        incremental updates rewrite only the affected buckets' rows (plus
+        the -1 pages rows) — the same partition-overwrite discipline as
+        postings/terms. buckets=None computes every bucket (full build)."""
+        doc_sites = docs.select("doc_id", "site")
+        if buckets is not None:
+            postings = postings.filter(F.col("term_bucket").isin(buckets))
+        lem = (postings.join(doc_sites, "doc_id")
+               .groupBy("site", "term_bucket")
+               .agg(F.count_distinct("term").cast("long").alias("lemmas"))
+               .select("site", "term_bucket",
+                       F.lit(0).cast("long").alias("pages"), "lemmas"))
+        pg = (docs.groupBy("site")
+              .agg(F.count("*").cast("long").alias("pages"))
+              .select("site", F.lit(-1).cast("int").alias("term_bucket"),
+                      "pages", F.lit(0).cast("long").alias("lemmas")))
+        return lem.unionByName(pg)
+
+    def _stage_site_stats(self):
+        """A4/C5 precompute: per-site page + distinct-lemma counts, built
+        once here (ONE postings⋈docs join, amortized over every dashboard
+        call) so statistics() reads a tiny table instead of joining the
+        full postings fact table per call."""
+        frame = (self._site_stats_frame(self.io.read("docs"),
+                                        self.io.read("postings"))
+                 .repartition(self.cfg.term_buckets + 1, "term_bucket"))
+        return self.io.write_stage(frame, "site_stats",
+                                   partition_by=["term_bucket"])
 
     def _stage_blocks(self):
         """Compressed posting blocks (operators/postings.py): delta+varint,

@@ -20,18 +20,29 @@ from ..sources.tableio import TableIO
 
 
 def statistics(io: TableIO) -> dict:
-    docs = io.read("docs")
-    postings = io.read("postings")
-
-    pages = {r["site"]: r["pages"] for r in
-             docs.groupBy("site").agg(F.count("*").alias("pages")).collect()}
-    # postings carry no site (shuffle-width trade-off) — join the compact
-    # (doc_id, site) projection of docs to attribute terms to sites
-    doc_sites = docs.select("doc_id", "site")
-    lemmas = {r["site"]: r["lemmas"] for r in
-              postings.join(doc_sites, "doc_id")
-              .groupBy("site")
-              .agg(F.count_distinct("term").alias("lemmas")).collect()}
+    if io.stage_complete("site_stats"):
+        # fast path: the build precomputed (site, bucket) page/lemma counts
+        # (plans/build.py::_stage_site_stats) — a dashboard call reads the
+        # tiny table; neither docs nor postings is scanned
+        rows = (io.read("site_stats")
+                .groupBy("site")
+                .agg(F.sum("pages").alias("pages"),
+                     F.sum("lemmas").alias("lemmas")).collect())
+        pages = {r["site"]: int(r["pages"]) for r in rows}
+        lemmas = {r["site"]: int(r["lemmas"]) for r in rows}
+    else:
+        # legacy index without the site_stats stage: derive per call
+        docs = io.read("docs")
+        postings = io.read("postings")
+        pages = {r["site"]: r["pages"] for r in
+                 docs.groupBy("site").agg(F.count("*").alias("pages")).collect()}
+        # postings carry no site (shuffle-width trade-off) — join the
+        # compact (doc_id, site) projection of docs to attribute terms
+        doc_sites = docs.select("doc_id", "site")
+        lemmas = {r["site"]: r["lemmas"] for r in
+                  postings.join(doc_sites, "doc_id")
+                  .groupBy("site")
+                  .agg(F.count_distinct("term").alias("lemmas")).collect()}
 
     try:
         status = io.read_meta("build_status")

@@ -1,5 +1,5 @@
 """Incremental index maintenance — partition-scoped snapshot-to-snapshot
-batch MERGE.
+batch MERGE with a durable, resumable commit protocol.
 
 The reference mutates counters in place: single-page reindex deletes the
 page's postings, re-lemmatizes, decrements each lemma's df and deletes
@@ -14,24 +14,41 @@ scale; here maintenance is declarative AND partition-scoped:
   2. affected terms = lemmas of the OLD text of touched docs (the
      reference's re-lemmatize step, :187) ∪ lemmas of the NEW text;
      affected term_buckets = their hash buckets — a bounded set.
-  3. postings/terms/blocks are rewritten ONLY for affected buckets via
+  3. postings/terms/blocks are rewritten ONLY for affected term_buckets,
+     and docs ONLY for affected url_buckets, via
      TableIO.overwrite_partitions (the Iceberg dynamic-partition-overwrite
      / MERGE seam): new bucket content = old rows minus touched doc_ids
-     plus the delta tokens. One changed page costs O(its buckets), not
-     O(corpus).
+     plus the delta. One changed page costs O(its buckets), not O(corpus).
   4. stats are recomputed from the small terms table; the blocks
      manifest's avgdl is marked stale so WAND switches to avgdl-free
      max_tf bounds (results stay exact; bounds re-tighten on the next full
      build — see plans/wand.py).
 
-The docs table itself is the one remaining full rewrite (narrow columns;
-at production scale it would be url-bucket partitioned and merged the same
-way). No Structured Streaming: the reference has no streaming operators,
-and checkpointed batch MERGE implements the north_rule's resumability.
+Crash-safety (the C1 build's INDEXING/FAILED lifecycle extended to C3/S7/
+S8, per plans/build.py:87-110): the computed delta — the old rows of
+touched docs (whose lemmas locate the buckets to purge) and the new doc
+rows (with ids already assigned) — is staged DURABLY under <work>/_delta/
+plus an atomically-written pending.json marker BEFORE any table is
+touched. Each table commit is an atomic manifest swap (old snapshot
+readable until the swap), applied in an order where every step is
+idempotent given the staged delta, so:
+
+  - a crash before pending.json exists: nothing changed; re-run the upsert;
+  - a crash mid-apply: build_status is INDEXING/FAILED (never INDEXED),
+    each table is at either its old or new snapshot, and
+    resume_delta() replays the apply from the staged frames — replays are
+    idempotent because every bucket rewrite is expressed as
+    "current rows minus touched keys plus staged delta";
+  - only after every commit lands is status INDEXED written and _delta/
+    removed.
+
+No Structured Streaming: the reference has no streaming operators, and
+checkpointed batch MERGE implements the north_rule's resumability.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -39,12 +56,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import EngineConfig
-from ..functions.udfs import extract_docs, tokens_from_docs_sql
+from ..functions.udfs import extract_docs, tokens_from_docs_sql, url_bucket_col
 from ..operators.doc_ids import assign_doc_ids
 from ..plans.build import IndexBuilder, term_bucket_col
 from ..sources.tableio import TableIO
 
 DOC_COLS = ["doc_id", "url", "site", "title", "text"]
+DELTA_DIR = "_delta"
+
+
+def _delta_path(io: TableIO, *parts: str) -> str:
+    return os.path.join(io.work_dir, DELTA_DIR, *parts)
 
 
 def upsert_docs(spark, io: TableIO, cfg: EngineConfig,
@@ -73,14 +95,11 @@ def upsert_docs(spark, io: TableIO, cfg: EngineConfig,
     changed = (updated.select(*DOC_COLS)
                .unionByName(fresh_ids.select(*DOC_COLS)))
 
-    kept = old_docs.join(incoming.select("url"), "url", "left_anti")
-    new_docs = kept.select(*DOC_COLS).unionByName(changed)
-
     # old text of updated urls: its lemmas locate the buckets to purge
     old_touched = old_docs.join(incoming.select("url"), "url", "left_semi")
 
-    report = _apply_delta(spark, io, cfg, new_docs,
-                          delta_docs=changed, old_touched=old_touched)
+    _stage_delta(spark, io, changed=changed, touched=old_touched)
+    report = apply_staged_delta(spark, io, cfg)
     shutil.rmtree(inc_path, ignore_errors=True)
     return report
 
@@ -101,38 +120,86 @@ def remove_docs(spark, io: TableIO, cfg: EngineConfig,
     if url is not None:
         cond = cond & (F.col("url") == F.lit(url))
     removed = docs.filter(cond)
-    new_docs = docs.filter(~cond).select(*DOC_COLS)
-    return _apply_delta(spark, io, cfg, new_docs,
-                        delta_docs=None, old_touched=removed)
+    _stage_delta(spark, io, changed=None, touched=removed)
+    return apply_staged_delta(spark, io, cfg)
 
 
-def _apply_delta(spark, io: TableIO, cfg: EngineConfig, new_docs: DataFrame,
-                 delta_docs: DataFrame | None,
+def _stage_delta(spark, io: TableIO, changed: DataFrame | None,
+                 touched: DataFrame) -> None:
+    """Durably stage the delta: old rows of touched docs + new doc rows
+    (with assigned ids). pending.json is written atomically LAST — it is
+    the delta's commit point: no marker, no delta (a crash mid-staging
+    leaves the index untouched and the caller simply re-runs)."""
+    root = _delta_path(io)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    touched.select(*DOC_COLS).write.mode("overwrite").parquet(
+        _delta_path(io, "touched"))
+    if changed is not None:
+        changed.select(*DOC_COLS).write.mode("overwrite").parquet(
+            _delta_path(io, "changed"))
+    marker = {"has_changed": changed is not None}
+    tmp = _delta_path(io, "pending.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(tmp, _delta_path(io, "pending.json"))
+
+
+def has_pending_delta(io: TableIO) -> bool:
+    return os.path.exists(_delta_path(io, "pending.json"))
+
+
+def resume_delta(spark, io: TableIO, cfg: EngineConfig) -> dict | None:
+    """Replay an interrupted upsert/remove from the staged delta (the C3
+    analog of build_index(resume=True)). No-op when nothing is pending."""
+    if not has_pending_delta(io):
+        return None
+    from ..sources.tableio import resolve_layout
+
+    return apply_staged_delta(spark, io, resolve_layout(io, cfg))
+
+
+def apply_staged_delta(spark, io: TableIO, cfg: EngineConfig) -> dict:
+    """Apply the staged delta under the build lifecycle protocol:
+    INDEXING(stage=delta) on entry, FAILED + kept staging on error (so
+    resume_delta can replay), INDEXED + staging removed on success."""
+    if not has_pending_delta(io):
+        raise RuntimeError("no staged delta to apply")
+    with open(_delta_path(io, "pending.json")) as f:
+        marker = json.load(f)
+    touched = spark.read.parquet(_delta_path(io, "touched"))
+    changed = (spark.read.parquet(_delta_path(io, "changed"))
+               if marker["has_changed"] else None)
+
+    builder = IndexBuilder(spark, io, cfg)
+    builder.write_status("INDEXING", stage="delta")
+    try:
+        report = _apply_delta(spark, io, cfg, builder,
+                              delta_docs=changed, old_touched=touched)
+    except BaseException as exc:
+        msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
+        builder.write_status("FAILED", stage="delta", error=msg)
+        raise
+    builder.write_status("INDEXED")
+    shutil.rmtree(_delta_path(io), ignore_errors=True)
+    return report
+
+
+def _apply_delta(spark, io: TableIO, cfg: EngineConfig,
+                 builder: IndexBuilder, delta_docs: DataFrame | None,
                  old_touched: DataFrame) -> dict:
-    """Commit docs' and rewrite only the affected term_buckets of
-    postings/terms/blocks; recompute scalar stats. delta_docs: docs whose
-    NEW text must be indexed (None for pure removals); old_touched: docs
-    whose OLD postings must be purged (their doc_ids + old lemmas)."""
+    """Rewrite only the affected term_buckets of postings/terms/blocks and
+    the affected url_buckets of docs; recompute scalar stats. Every step is
+    an atomic partition-overwrite commit expressed as "current rows minus
+    touched keys plus staged delta", so replaying after a crash converges
+    to the same state regardless of which commits already landed.
+
+    delta_docs: docs whose NEW text must be indexed (None for pure
+    removals); old_touched: docs whose OLD postings must be purged (their
+    doc_ids + old lemmas). Both read from the durable _delta/ staging."""
     report: dict[str, dict] = {}
 
-    # every input frame reads the CURRENT docs table, which is about to be
-    # overwritten — stage the (small) touched frames and the new docs table
-    # to side dirs first, then swap
-    def _stage(df: DataFrame, name: str) -> DataFrame:
-        p = os.path.join(io.work_dir, name)
-        df.write.mode("overwrite").parquet(p)
-        return spark.read.parquet(p)
-
-    old_touched = _stage(old_touched.select(*DOC_COLS), "_staged_touched")
-    if delta_docs is not None:
-        delta_docs = _stage(delta_docs.select(*DOC_COLS), "_staged_delta")
-    side = os.path.join(io.work_dir, "_staged_docs")
-    new_docs.write.mode("overwrite").parquet(side)
-    staged = spark.read.parquet(side)
-    old_extra = (io.read_manifest("docs") or {}).get("extra", {})
-    report["docs"] = io.write_stage(staged, "docs", extra=old_extra).to_json()
-
-    # --- affected buckets (old lemmas ∪ new lemmas of touched docs)
+    # --- affected term buckets (old lemmas ∪ new lemmas of touched docs)
     delta_tokens = None
     term_frames = [tokens_from_docs_sql(old_touched).select("term")]
     if delta_docs is not None:
@@ -140,8 +207,8 @@ def _apply_delta(spark, io: TableIO, cfg: EngineConfig, new_docs: DataFrame,
             "term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))
         term_frames.append(delta_tokens.select("term"))
     affected = term_frames[0]
-    for f in term_frames[1:]:
-        affected = affected.unionByName(f)
+    for fr in term_frames[1:]:
+        affected = affected.unionByName(fr)
     buckets = sorted(
         r["b"] for r in affected
         .select(term_bucket_col(F.col("term"), cfg.term_buckets).alias("b"))
@@ -149,8 +216,10 @@ def _apply_delta(spark, io: TableIO, cfg: EngineConfig, new_docs: DataFrame,
     report["affected_buckets"] = buckets
 
     touched_ids = old_touched.select("doc_id")
+    touched_urls = old_touched.select("url")
     if delta_docs is not None:
         touched_ids = touched_ids.unionByName(delta_docs.select("doc_id"))
+        touched_urls = touched_urls.unionByName(delta_docs.select("url"))
 
     if buckets:
         # --- postings: old bucket rows minus touched docs, plus the delta
@@ -177,8 +246,27 @@ def _apply_delta(spark, io: TableIO, cfg: EngineConfig, new_docs: DataFrame,
         report["terms"] = io.overwrite_partitions(
             newt, "terms", "term_bucket", buckets).to_json()
 
-    builder = IndexBuilder(spark, io, cfg)
+    # --- docs: rewrite only the touched url_buckets (atomic partition
+    # commit — the old docs snapshot stays readable until the manifest
+    # swap, and the old-lemma delta needed to purge stale postings lives
+    # in _delta/, never only in the table being overwritten)
+    report["docs"] = _commit_docs(spark, io, cfg, delta_docs, touched_urls)
+
+    # stats AFTER the docs commit: n_docs comes from the docs manifest
     report["stats"] = builder._stage_stats().to_json()
+
+    # site_stats: lemma rows of the affected term buckets + the -1 pages
+    # rows (docs changed) — same partition-overwrite discipline; a legacy
+    # index without the stage gets a full rebuild of the tiny table
+    if io.stage_complete("site_stats"):
+        ss = builder._site_stats_frame(io.read("docs"), io.read("postings"),
+                                       buckets)
+        ss_buckets = [*buckets, -1]
+        ss = ss.repartition(len(ss_buckets), "term_bucket")
+        report["site_stats"] = io.overwrite_partitions(
+            ss, "site_stats", "term_bucket", ss_buckets).to_json()
+    else:
+        report["site_stats"] = builder._stage_site_stats().to_json()
 
     if buckets:
         # --- blocks: re-encode the rewritten buckets; mark block-max
@@ -203,10 +291,58 @@ def _apply_delta(spark, io: TableIO, cfg: EngineConfig, new_docs: DataFrame,
             newb, "blocks", "term_bucket", buckets,
             extra_update={"head_terms": head, "avgdl": None}).to_json()
 
-    builder.write_status("INDEXED")
-    shutil.rmtree(side, ignore_errors=True)
-    shutil.rmtree(os.path.join(io.work_dir, "_staged_touched"),
-                  ignore_errors=True)
-    shutil.rmtree(os.path.join(io.work_dir, "_staged_delta"),
-                  ignore_errors=True)
     return report
+
+
+def _commit_docs(spark, io: TableIO, cfg: EngineConfig,
+                 delta_docs: DataFrame | None,
+                 touched_urls: DataFrame) -> dict:
+    """Partition-scoped docs commit: replacement rows for each affected
+    url_bucket = current bucket rows minus touched urls plus the staged
+    changed rows — idempotent under replay. Falls back to a staged full
+    rewrite for indexes built before the url_bucket layout."""
+    docs_extra = (io.read_manifest("docs") or {}).get("extra", {})
+    n_b = int(docs_extra.get("doc_id_buckets", cfg.doc_id_buckets))
+
+    if not docs_extra.get("url_bucket_partitioned"):
+        # legacy unpartitioned docs table: full (but staged + manifest-
+        # swapped) rewrite; the side-dir staging keeps the read-side
+        # lineage off the directory being overwritten
+        kept = io.read("docs").join(touched_urls, "url", "left_anti")
+        new_docs = kept.select(*DOC_COLS)
+        if delta_docs is not None:
+            new_docs = new_docs.unionByName(delta_docs.select(*DOC_COLS))
+        side = os.path.join(io.work_dir, "_staged_docs_full")
+        new_docs.write.mode("overwrite").parquet(side)
+        staged = spark.read.parquet(side)
+        res = io.write_stage(staged, "docs", extra=docs_extra).to_json()
+        shutil.rmtree(side, ignore_errors=True)
+        return res
+
+    bucket_of_url = url_bucket_col(F.col("url"), n_b)
+    url_frames = [touched_urls]
+    if delta_docs is not None:
+        url_frames.append(delta_docs.select("url"))
+    all_urls = url_frames[0]
+    for fr in url_frames[1:]:
+        all_urls = all_urls.unionByName(fr)
+    doc_buckets = sorted(
+        r["b"] for r in
+        all_urls.select(bucket_of_url.alias("b")).distinct().collect())
+    if not doc_buckets:
+        return (io.read_manifest("docs") or {})
+
+    cur = (io.read("docs")
+           .filter(F.col("url_bucket").isin(doc_buckets))
+           .join(all_urls.distinct(), "url", "left_anti")
+           .select(*DOC_COLS, "url_bucket"))
+    repl = cur
+    if delta_docs is not None:
+        repl = repl.unionByName(
+            delta_docs.select(*DOC_COLS)
+            .withColumn("url_bucket", bucket_of_url)
+            .filter(F.col("url_bucket").isin(doc_buckets)))
+    repl = (repl.repartition(len(doc_buckets), "url_bucket")
+                .sortWithinPartitions("doc_id"))
+    return io.overwrite_partitions(
+        repl, "docs", "url_bucket", doc_buckets).to_json()

@@ -52,3 +52,35 @@ def test_statistics(built_engine, oracle_index):
         by_site[d["site"]] = by_site.get(d["site"], 0) + 1
     got_sites = {d["site"]: d["pages"] for d in stats["statistics"]["detailed"]}
     assert got_sites == by_site
+    # per-site lemma counts must equal the oracle's distinct-lemma sets
+    by_site_lemmas = {}
+    for t, pl in oracle_index.postings.items():
+        for d in pl:
+            by_site_lemmas.setdefault(
+                oracle_index.docs[d]["site"], set()).add(t)
+    got_lemmas = {d["site"]: d["lemmas"] for d in stats["statistics"]["detailed"]}
+    assert got_lemmas == {s: len(v) for s, v in by_site_lemmas.items()}
+
+
+def test_statistics_reads_precomputed_table_only(built_engine):
+    """The dashboard path must not scan docs or postings: with both
+    directories moved aside, statistics() still answers from the
+    precomputed site_stats table (plans/build.py::_stage_site_stats)."""
+    import os
+    import shutil
+
+    io = built_engine.io
+    assert io.stage_complete("site_stats")
+    want = built_engine.statistics()
+    moved = []
+    try:
+        for t in ("docs", "postings"):
+            src, dst = io.path(t), io.path(t) + ".hidden"
+            shutil.move(src, dst)
+            moved.append((src, dst))
+        got = built_engine.statistics()
+    finally:
+        for src, dst in moved:
+            if os.path.isdir(dst):
+                shutil.move(dst, src)
+    assert got == want

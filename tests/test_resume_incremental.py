@@ -177,6 +177,108 @@ def test_upsert_is_partition_scoped(inc_engine, spark):
                        for a, b in zip(alt["data"], exact["data"]))
 
 
+def _part_files(io, table):
+    out = {}
+    base = io.path(table)
+    for root, _, fs in os.walk(base):
+        for fn in fs:
+            if fn.endswith(".parquet"):
+                fp = os.path.join(root, fn)
+                out[os.path.relpath(fp, base)] = os.path.getmtime(fp)
+    return out
+
+
+def test_upsert_docs_rewrite_is_bucket_scoped(inc_engine, spark):
+    """The docs table is url_bucket-partitioned: an upsert of one url must
+    rewrite only that url's bucket directory (byte-level mtime check on
+    every other bucket)."""
+    from searchengine_spark import oracle as O
+    from searchengine_spark.sources.corpus import gen_pages_local
+
+    io = inc_engine.io
+    before = _part_files(io, "docs")
+    base = gen_pages_local(N)
+    victim = dict(base[21], html=base[55]["html"], text=base[55]["text"])
+    pdf = spark.createDataFrame(
+        [(victim["url"], victim["warc_ts"], victim["html"], victim["text"],
+          victim["lang"])],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    inc_engine.upsert_docs(pdf)
+
+    vb = O.url_bucket(victim["url"], inc_engine.cfg.doc_id_buckets)
+    after = _part_files(io, "docs")
+    touched_dirs = set()
+    for rel, mtime in after.items():
+        d = rel.split(os.sep)[0]
+        if before.get(rel) != mtime:
+            touched_dirs.add(d)
+    assert touched_dirs == {f"url_bucket={vb}"}
+    # and the new text is served
+    from searchengine_spark.functions.text_core import extract_text
+
+    texts = {r["url"]: r["text"]
+             for r in io.read("docs").select("url", "text").collect()}
+    assert texts[victim["url"]] == extract_text(victim["html"].decode("utf-8"))
+
+
+def test_crash_between_commits_is_resumable(inc_engine, spark, monkeypatch):
+    """Kill the delta apply between the postings and docs commits: the docs
+    table must still serve its OLD snapshot, build_status must be FAILED
+    (never a silent INDEXED mix), and resume_upsert() must replay the
+    staged delta to the exact state a clean upsert produces."""
+    import pytest as _pytest
+
+    from searchengine_spark.streaming import incremental as inc
+    from searchengine_spark.sources.corpus import gen_pages_local
+
+    io = inc_engine.io
+    base = gen_pages_local(N)
+    victim = dict(base[11], html=base[45]["html"], text=base[45]["text"])
+    extra = gen_pages_local(N + 1)[-1:]  # plus one brand-new url
+    changed = [victim, *extra]
+    pdf = spark.createDataFrame(
+        [(c["url"], c["warc_ts"], c["html"], c["text"], c["lang"])
+         for c in changed],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+
+    old_texts = {r["url"]: r["text"]
+                 for r in io.read("docs").select("url", "text").collect()}
+    real_commit = inc._commit_docs
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before docs commit")
+
+    monkeypatch.setattr(inc, "_commit_docs", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        inc_engine.upsert_docs(pdf)
+
+    status = io.read_meta("build_status")
+    assert status["status"] == "FAILED" and status["stage"] == "delta"
+    assert inc.has_pending_delta(io)
+    # old docs snapshot intact (postings may already be new — the FAILED
+    # status + pending marker make the mix detectable and repairable)
+    now_texts = {r["url"]: r["text"]
+                 for r in io.read("docs").select("url", "text").collect()}
+    assert now_texts == old_texts
+
+    monkeypatch.setattr(inc, "_commit_docs", real_commit)
+    report = inc_engine.resume_upsert()
+    assert report is not None and not inc.has_pending_delta(io)
+    assert io.read_meta("build_status")["status"] == "INDEXED"
+
+    # end state == oracle on the edited page set
+    edited = {p["url"]: p for p in base}
+    for c in changed:
+        edited[c["url"]] = c
+    idx = _oracle_for(list(edited.values()))
+    assert _terms_snapshot(inc_engine) == {
+        t: (idx.df[t], idx.cf[t]) for t in idx.df}
+    urls = {r["url"] for r in io.read("docs").select("url").collect()}
+    assert extra[0]["url"] in urls and len(urls) == N + 1
+    # resume_upsert with nothing pending is a no-op
+    assert inc_engine.resume_upsert() is None
+
+
 def test_remove_page_df_decrement(inc_engine):
     """Removing one page decrements df for exactly its lemmas and deletes
     zero-df terms (the reference's removePageDataFromBD math, recomputed
