@@ -247,6 +247,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 n_planes=N_PLANES, exclude_id=0,
                                 probe_radius=1)
 
+    def q_lsh_ann_indexed(spark, sf):
+        # the MATERIALIZED index path: embeddings written once partitioned
+        # by LSH bucket, probe = partition-pruned read (LshAnnIndex);
+        # results must equal the ad-hoc multiprobe recompute — same oracle
+        import tempfile
+
+        qv = _query_vec(spark, sf)
+        path = tempfile.mkdtemp(prefix="lsh_ann_idx_")
+        idx = sim.LshAnnIndex(spark, f"{path}/t", dim=EMB_DIM,
+                              n_planes=N_PLANES).build(_emb(spark, sf))
+        return idx.ann_topk(qv, k=ANN_K, probe_radius=1, exclude_id=0)
+
+    def q_ivf_ann_indexed(spark, sf):
+        import tempfile
+
+        qv = _query_vec(spark, sf)
+        path = tempfile.mkdtemp(prefix="ivf_ann_idx_")
+        idx = sim.IvfAnnIndex(spark, f"{path}/t",
+                              dim=EMB_DIM).build(_emb(spark, sf))
+        return idx.ann_topk(qv, k=ANN_K, n_probe=IVF_N_PROBE, exclude_id=0)
+
     def q_emb_neardup(spark, sf):
         # fixture has no planted near-dup vectors (max pairwise cos ≈ 0.48);
         # 0.35 exercises the bucket-join + verify stages with real output
@@ -325,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_ann": q_ivf_ann,
         "ivf_ann_multiprobe": q_ivf_ann_multiprobe,
+        "lsh_ann_indexed": q_lsh_ann_indexed,
+        "ivf_ann_indexed": q_ivf_ann_indexed,
         "media_metadata": q_media_metadata,
         "media_resize_dims": q_media_resize_dims,
         "frame_counts": q_frame_counts,
@@ -808,4 +831,8 @@ SELECT doc_id, CAST(CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END AS INT) AS is_
 FROM r""",
         "fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
     }
+    # the materialized-index probes are result-identical to the ad-hoc
+    # multiprobe recomputes by construction — same oracle SQL
+    sqls["lsh_ann_indexed"] = sqls["lsh_ann_multiprobe"]
+    sqls["ivf_ann_indexed"] = sqls["ivf_ann_multiprobe"]
     return sqls
