@@ -57,7 +57,8 @@ TOPK_SCHEMA = StructType([
 
 def _wand_task(pdf, *, term_order: list[str], idf: dict[str, float],
                avgdl: float, k1: float, b: float, kprime: int,
-               range_w: int, tf_bounds: bool = False):
+               range_w: int, tf_bounds: bool = False,
+               theta0: float = 0.0):
     """One task: blocks of several doc-ranges -> ≤ kprime (doc_id, score).
 
     Each doc belongs to exactly one range (doc_id // range_w); postings
@@ -103,7 +104,9 @@ def _wand_task(pdf, *, term_order: list[str], idf: dict[str, float],
 
     for ub, rid in uppers:
         th = theta()
-        if th is not None and ub < th[0]:
+        # theta0: a broadcast lower bound on the global k'-th score from a
+        # two-phase run's hot ranges — strictly-below skip keeps ties exact
+        if (th is not None and ub < th[0]) or ub < theta0:
             break  # ranges are sorted: nothing below can beat θ either
         g = by_range[rid]
         w_lo, w_hi = rid * range_w, (rid + 1) * range_w
@@ -169,10 +172,23 @@ def _wand_task(pdf, *, term_order: list[str], idf: dict[str, float],
 def wand_topk(spark, io, cfg: EngineConfig, terms: list[dict],
               k: int, offset: int = 0,
               n_tasks: int | None = None,
-              blocks_df: DataFrame | None = None) -> DataFrame:
+              blocks_df: DataFrame | None = None,
+              two_phase: bool = False,
+              hot_ranges: int = 8) -> DataFrame:
     """terms: analyze() output [{term, df, idf}] rarest-first.
     Returns DataFrame(doc_id, score) of the global top-(offset+k).
-    blocks_df: optionally a pre-warmed (cached) blocks frame."""
+    blocks_df: optionally a pre-warmed (cached) blocks frame.
+
+    two_phase: cross-task θ sharing — phase 1 scores only the `hot_ranges`
+    ranges with the highest upper bounds (one task) to obtain θ0, phase 2
+    broadcasts θ0 so every task starts with a non-trivial pruning bar
+    instead of converging its own θ from scratch. Exactness is preserved:
+    θ0 is a true lower bound on the global k'-th score (phase-1 results
+    are genuine scores) and ranges are only skipped strictly below it.
+    Measured on this sandbox's corpus sizes the extra driver round-trip
+    costs more than the pruning saves (see BENCH/BASELINE.md), so the
+    default stays single-phase; the knob exists for genuinely distributed
+    skewed corpora where per-task θ convergence dominates."""
     stats = io.read_meta("stats")
     avgdl = float(stats["avgdl"]) or 1.0
     kprime = offset + k
@@ -211,13 +227,56 @@ def wand_topk(spark, io, cfg: EngineConfig, terms: list[dict],
                     (F.col("range_id") % F.lit(n_tasks)).cast("int"))
     )
 
+    theta0 = 0.0
+    phase1 = None
+    if two_phase:
+        k1c, bc = cfg.bm25_k1, cfg.bm25_b
+        # per-(range, term) bound from block METADATA only (no decode),
+        # AND-filtered to ranges containing every query term, top-R by
+        # Σ idf·bound — a TakeOrdered over a tiny metadata aggregate
+        tb = (F.col("mt") * F.lit(k1c + 1.0)
+              / (F.col("mt") + F.lit(k1c * (1.0 - bc)))
+              if tf_bounds else F.col("mtp"))
+        idf_map = F.create_map(*[x for t in terms
+                                 for x in (F.lit(t["term"]),
+                                           F.lit(float(t["idf"])))])
+        rb = (exploded.groupBy("range_id", "term")
+              .agg(F.max("max_tfpart").alias("mtp"),
+                   F.max("max_tf").alias("mt"))
+              .withColumn("contrib", idf_map[F.col("term")] * tb)
+              .groupBy("range_id")
+              .agg(F.count("*").alias("nt"), F.sum("contrib").alias("ub"))
+              .filter(F.col("nt") == F.lit(len(term_order)))
+              .orderBy(F.col("ub").desc()).limit(hot_ranges))
+        hot = [r["range_id"] for r in rb.collect()]
+        if hot:
+            p1 = (exploded.filter(F.col("range_id").isin(hot))
+                  .withColumn("wand_group", F.lit(0)))
+
+            def task1(pdf):
+                return _wand_task(pdf, term_order=term_order, idf=idf,
+                                  avgdl=avgdl, k1=cfg.bm25_k1, b=cfg.bm25_b,
+                                  kprime=kprime, range_w=range_w,
+                                  tf_bounds=tf_bounds)
+
+            phase1 = p1.groupBy("wand_group").applyInPandas(
+                task1, schema=TOPK_SCHEMA).collect()
+            if len(phase1) >= kprime:
+                theta0 = min(r["score"] for r in phase1)
+            exploded = exploded.filter(~F.col("range_id").isin(hot))
+
+    t0 = theta0
+
     def task(pdf):
         return _wand_task(pdf, term_order=term_order, idf=idf, avgdl=avgdl,
                           k1=cfg.bm25_k1, b=cfg.bm25_b, kprime=kprime,
-                          range_w=range_w, tf_bounds=tf_bounds)
+                          range_w=range_w, tf_bounds=tf_bounds, theta0=t0)
 
     partial = exploded.groupBy("wand_group").applyInPandas(
         task, schema=TOPK_SCHEMA)
+    if phase1:
+        partial = partial.unionByName(
+            spark.createDataFrame(phase1, TOPK_SCHEMA))
     # NB: a doc whose postings land in one range can still be emitted by two
     # tasks only if a block spans ranges AND both copies see it — dedup by
     # doc_id keeping max (scores are identical; max is a safe dedup)

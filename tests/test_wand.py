@@ -57,6 +57,37 @@ def test_wand_matches_exact_on_queryset(built_engine):
     assert checked >= 15
 
 
+def test_wand_two_phase_matches_single_phase(built_engine):
+    """Two-phase θ sharing must be exact: identical (doc, score) rows to
+    the single-phase run for every reference query (θ0 is a true lower
+    bound; ranges are skipped only strictly below it)."""
+    from searchengine_spark.plans.wand import wand_topk
+    from searchengine_spark.sources.queryset import reference_queries
+
+    eng = built_engine
+    checked = 0
+    for q in reference_queries():
+        if q["site"] is not None or not q["query"]:
+            continue
+        terms = _analyze(eng, q["query"])
+        if not terms:
+            continue
+        one = [(r["doc_id"], r["score"])
+               for r in wand_topk(eng.spark, eng.io, eng.cfg, terms,
+                                  k=q["k"], offset=q["offset"]).collect()]
+        two = [(r["doc_id"], r["score"])
+               for r in wand_topk(eng.spark, eng.io, eng.cfg, terms,
+                                  k=q["k"], offset=q["offset"],
+                                  two_phase=True, hot_ranges=2).collect()]
+        assert [d for d, _ in two] == [d for d, _ in one], q["query"]
+        for (_, s2), (_, s1) in zip(two, one):
+            assert s2 == pytest.approx(s1, abs=1e-9)
+        checked += 1
+        if checked >= 8:  # exactness, not coverage — bound the runtime
+            break
+    assert checked >= 5
+
+
 def test_wand_search_response_matches_oracle(built_engine, oracle_index):
     from searchengine_spark import oracle as O
 
