@@ -46,6 +46,7 @@ HEADLINE = [
     "per_source_stats",
     "dedup_exact_summary",
     "dedup_minhash_pairs",
+    "dedup_minhash_keep",
     "dedup_simhash",
     "dedup_simhash64_pairs",
     "knn_cosine",

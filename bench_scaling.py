@@ -124,7 +124,8 @@ def run_level(cpus: int, n_docs: int) -> dict:
                 "n_postings": n_postings,
                 "index_bytes": idx_bytes,
                 "stage_wall_ms": {s: report[s]["wall_ms"] for s in
-                                  ("docs", "postings", "terms", "blocks")},
+                                  ("docs", "postings", "terms", "site_stats",
+                                   "blocks")},
                 "query_p50_exact": round(p(lat_exact, 0.50), 4),
                 "query_p95_exact": round(p(lat_exact, 0.95), 4),
                 "query_p50_wand": round(p(lat_wand, 0.50), 4),
@@ -170,7 +171,7 @@ Stage wall-clock (ms):
 |---|---|---|
 """ + "\n".join(
         f"| {s} | {lo['stage_wall_ms'][s]} | {hi['stage_wall_ms'][s]} |"
-        for s in ("docs", "postings", "terms", "blocks")
+        for s in ("docs", "postings", "terms", "site_stats", "blocks")
     ) + f"""
 
 ## Query latency ({lo["n_queries"]} reference queries, top-k, no snippets)

@@ -48,16 +48,25 @@ def compute_bucket_offsets(urls: DataFrame, n_buckets: int,
 
 
 def attach_doc_ids(df: DataFrame, offsets: dict[int, int], n_buckets: int,
-                   url_col: str = "url") -> DataFrame:
-    """Add the dense `doc_id` column using precomputed bucket offsets."""
+                   url_col: str = "url",
+                   keep_bucket_as: str | None = None) -> DataFrame:
+    """Add the dense `doc_id` column using precomputed bucket offsets.
+
+    keep_bucket_as: keep the bucket column under that name instead of
+    dropping it. The window already hash-partitions the frame by the
+    bucket, so a downstream partitionBy(bucket) write needs NO further
+    exchange — recomputing the same value into a fresh column would cost
+    the build a third full shuffle of the docs table."""
     mapping = F.create_map(*[x for b in range(n_buckets)
                              for x in (F.lit(b), F.lit(offsets[b]))])
     w = Window.partitionBy("_bucket").orderBy(F.col(url_col))
-    return (df.withColumn("_bucket", url_bucket_col(F.col(url_col), n_buckets))
-            .withColumn("doc_id",
-                        (F.row_number().over(w) - 1 + mapping[F.col("_bucket")])
-                        .cast("long"))
-            .drop("_bucket"))
+    out = (df.withColumn("_bucket", url_bucket_col(F.col(url_col), n_buckets))
+           .withColumn("doc_id",
+                       (F.row_number().over(w) - 1 + mapping[F.col("_bucket")])
+                       .cast("long")))
+    if keep_bucket_as:
+        return out.withColumnRenamed("_bucket", keep_bucket_as)
+    return out.drop("_bucket")
 
 
 def assign_doc_ids(docs: DataFrame, n_buckets: int = 64,

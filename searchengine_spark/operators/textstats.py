@@ -19,11 +19,14 @@ EN_STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "is", "on", "for"]
 
 def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Widen a narrow-source frame to the session's parallelism before
-    explode-heavy work. At web scale inputs arrive as thousands of file
-    splits and this is a no-op; it guards the degenerate few-big-files
-    case (e.g. one parquet file ⇒ one input split) where a single task
-    would otherwise own the whole corpus' tokenize/shingle map side —
-    measured 5× on the dedup family at sf0.1 (single-file input)."""
+    CPU-heavy per-row map work. At web scale inputs arrive as thousands of
+    file splits and this is a no-op; it guards the degenerate
+    few-big-files case (e.g. one parquet file ⇒ one input split) where a
+    single task would otherwise own the whole map side. Measured 5× on
+    the shingle/minhash family at sf0.1 (single-file input). NOT applied
+    to light explodes (whitespace tokens): there the extra exchange costs
+    more than the serial map side saves (measured 2× slower) — apply only
+    where per-row work dominates."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -32,7 +35,7 @@ def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
 
 def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, pos, term) — whitespace tokenization, empties dropped."""
-    return (spread_input(df)
+    return (df
             .select(F.col(id_col).alias("doc_id"),
                     F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"))
             .filter(F.col("term") != ""))

