@@ -180,6 +180,61 @@ def np_bm25_tfpart(tf, dl, avgdl: float, k1: float = 1.2, b: float = 0.75):
     return t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * d / avgdl))
 
 
+def np_intersect_score_blocks(per_term_blocks, term_order, idf,
+                              avgdl: float, k1: float, b: float,
+                              window=None):
+    """Rarest-first AND intersection with doc-range block skipping over
+    compressed posting blocks — THE shared query kernel of the WAND tasks
+    (plans/wand.py) and the driver serving path (plans/serve.py); the two
+    must stay score-identical, so they share this code.
+
+    per_term_blocks: term -> list of (docs_bin, tfs_bin, dls_bin,
+    doc_min, doc_max), in (shard, doc_min) order. window=(lo, hi)
+    restricts the FIRST term's postings to lo <= doc < hi (WAND range
+    tasks; later terms are implicitly restricted by the intersection).
+    Returns (doc_ids, scores) int64/float64 ndarrays, doc-ascending."""
+    import numpy as np
+
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    cand_docs = None  # ascending, unique
+    cand_scores = None
+    for t in term_order:
+        blocks = per_term_blocks[t]
+        if cand_docs is not None:
+            if cand_docs.size == 0:
+                return empty
+            lo, hi = int(cand_docs[0]), int(cand_docs[-1])
+            blocks = [r for r in blocks if r[4] >= lo and r[3] <= hi]
+        parts_d, parts_s = [], []
+        idf_t = idf[t]
+        for docs_bin, tfs_bin, dls_bin, _, _ in blocks:
+            ds, ts, ls = np_decode_posting_block(
+                bytes(docs_bin), bytes(tfs_bin), bytes(dls_bin))
+            if cand_docs is None and window is not None:
+                m = (ds >= window[0]) & (ds < window[1])
+                ds, ts, ls = ds[m], ts[m], ls[m]
+            if ds.size:
+                parts_d.append(ds)
+                parts_s.append(idf_t * np_bm25_tfpart(ts, ls, avgdl, k1, b))
+        if not parts_d:
+            return empty  # AND semantics: term absent => no hit
+        d_all = np.concatenate(parts_d)
+        s_all = np.concatenate(parts_s)
+        if cand_docs is None:
+            # blocks of one (term, shard) are disjoint ascending runs, but
+            # sort defensively — correctness must not depend on layout
+            order = np.argsort(d_all, kind="stable")
+            cand_docs, cand_scores = d_all[order], s_all[order]
+        else:
+            common, ia, ib = np.intersect1d(
+                cand_docs, d_all, assume_unique=True, return_indices=True)
+            cand_docs = common
+            cand_scores = cand_scores[ia] + s_all[ib]
+    if cand_docs is None:
+        return empty
+    return cand_docs, cand_scores
+
+
 BLOCKS_SCHEMA = StructType([
     StructField("term", StringType(), False),
     StructField("shard", IntegerType(), False),

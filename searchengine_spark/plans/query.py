@@ -63,6 +63,7 @@ class QueryEngine:
         to cold per-query reads."""
         from pyspark import StorageLevel
 
+        self._assert_no_pending_delta()
         pinned: list[str] = []
         for t in ("postings", "terms", "blocks", "docs"):
             if not self.io.exists(t):
@@ -73,8 +74,11 @@ class QueryEngine:
                     "(aborted/interrupted build) — refusing to serve it; "
                     "resume the build first")
             # serving reads directories via pyarrow (plans/serve.py) —
-            # clear any interrupted-commit debris so dir == snapshot
-            self.io.vacuum(t)
+            # clear any interrupted-commit debris so dir == snapshot.
+            # required=True: a skipped vacuum here would silently serve
+            # orphan generation files (duplicate postings, double-counted
+            # scores), so block until the cleanup actually ran
+            self.io.vacuum(t, required=True)
             df = self.io.read(t).persist(StorageLevel.MEMORY_AND_DISK)
             df.count()  # materialize now, not on first query
             self._warm[t] = df
@@ -83,6 +87,20 @@ class QueryEngine:
 
     def _table(self, name: str):
         return self._warm.get(name) or self.io.read(name)
+
+    def _assert_no_pending_delta(self) -> None:
+        """An interrupted upsert/remove leaves tables at a MIX of pre- and
+        post-delta snapshots (each table commit is atomic, the multi-table
+        apply is not) with a durable pending marker. Per-stage manifests
+        are all 'complete' in that state, so the stage gates can't catch
+        it — refuse to serve until resume_upsert() replays the delta."""
+        from ..streaming.incremental import has_pending_delta
+
+        if has_pending_delta(self.io):
+            raise RuntimeError(
+                "an upsert/remove was interrupted mid-apply (pending delta "
+                "staged under _delta/) — tables may be a mixed snapshot; "
+                "call SearchEngine.resume_upsert() before serving")
 
     # --- query analysis (driver-side; tiny data) ------------------------
 
@@ -172,6 +190,7 @@ class QueryEngine:
                            site filters / reference relevance mode.
         count_mode="none" skips the total-match count (count is inherently a
         full-intersection job; WAND's point is NOT doing that work)."""
+        self._assert_no_pending_delta()
         limit = limit if limit is not None else self.cfg.default_limit
         if not query:
             return {"result": False, "error": ERR_EMPTY}

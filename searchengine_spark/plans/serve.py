@@ -29,7 +29,7 @@ import math
 import os
 
 from ..config import EngineConfig
-from ..operators.postings import (np_bm25_tfpart, np_decode_posting_block,
+from ..operators.postings import (np_intersect_score_blocks,
                                   np_varint_decode)
 from .wand import term_bucket_col_val
 
@@ -67,9 +67,9 @@ def driver_topk(io, cfg: EngineConfig, terms: list[dict], k: int,
                 offset: int = 0) -> list[tuple[int, float]]:
     """Top-(offset+k) (doc_id, score) — rarest-first AND intersection with
     doc-range block skipping over the compressed blocks, one process.
-    Decode + scoring numpy-vectorized (cumsum delta decode, array tfpart,
-    sorted-array intersection) — no per-posting Python loop."""
-    import numpy as np
+    Decode + scoring numpy-vectorized via the shared kernel
+    (operators/postings.py::np_intersect_score_blocks) — score-identical
+    to the WAND tasks by construction."""
     import pyarrow.dataset as ds
 
     stats = io.read_meta("stats")
@@ -92,40 +92,14 @@ def driver_topk(io, cfg: EngineConfig, terms: list[dict], k: int,
         if row["term"] in per_term:
             per_term[row["term"]].append(row)
 
-    cand_docs = None  # int64 ndarray, ascending, unique
-    cand_scores = None
-    for t in term_order:
-        blocks = per_term[t]
-        if cand_docs is not None:
-            if cand_docs.size == 0:
-                return []
-            lo, hi = int(cand_docs[0]), int(cand_docs[-1])
-            blocks = [r for r in blocks
-                      if r["doc_max"] >= lo and r["doc_min"] <= hi]
-        parts_d, parts_s = [], []
-        idf_t = idf[t]
-        for r in blocks:
-            dsx, ts, ls = np_decode_posting_block(
-                bytes(r["docs_bin"]), bytes(r["tfs_bin"]),
-                bytes(r["dls_bin"]))
-            if dsx.size:
-                parts_d.append(dsx)
-                parts_s.append(idf_t * np_bm25_tfpart(ts, ls, avgdl, k1, b))
-        if not parts_d:
-            cand_docs = np.empty(0, dtype=np.int64)
-            cand_scores = np.empty(0, dtype=np.float64)
-            continue
-        d_all = np.concatenate(parts_d)
-        s_all = np.concatenate(parts_s)
-        if cand_docs is None:
-            order = np.argsort(d_all, kind="stable")
-            cand_docs, cand_scores = d_all[order], s_all[order]
-        else:
-            common, ia, ib = np.intersect1d(
-                cand_docs, d_all, assume_unique=True, return_indices=True)
-            cand_docs = common
-            cand_scores = cand_scores[ia] + s_all[ib]
-    if cand_docs is None or cand_docs.size == 0:
+    per_term_blocks = {
+        t: [(r["docs_bin"], r["tfs_bin"], r["dls_bin"],
+             r["doc_min"], r["doc_max"]) for r in rows]
+        for t, rows in per_term.items()
+    }
+    cand_docs, cand_scores = np_intersect_score_blocks(
+        per_term_blocks, term_order, idf, avgdl, k1, b)
+    if cand_docs.size == 0:
         return []
     kprime = offset + k
     top = heapq.nsmallest(

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
 
 from ..config import EngineConfig
-from ..operators.postings import (np_bm25_tfpart, np_decode_posting_block)
+from ..operators.postings import np_intersect_score_blocks
 from .build import term_bucket_col
 
 TOPK_SCHEMA = StructType([
@@ -67,12 +67,12 @@ def _wand_task(pdf, *, term_order: list[str], idf: dict[str, float],
     postings present (completeness: every block overlapping the range is in
     this group).
 
-    Decode + scoring are numpy-vectorized (np_decode_posting_block /
-    np_bm25_tfpart, operators/postings.py) — cumsum delta decode, array
-    tfpart, sorted-array intersection via np.intersect1d; no per-posting
-    Python loop. Layout unchanged; results byte-identical to the scalar
+    Decode + scoring are numpy-vectorized via the shared kernel
+    (operators/postings.py::np_intersect_score_blocks): cumsum delta
+    decode, array tfpart, sorted-array intersection — no per-posting
+    Python loop; score-identical to the driver serving path by
+    construction. Layout unchanged; results byte-identical to the scalar
     codec (property-tested)."""
-    import numpy as np
     import pandas as pd
 
     # heap of (score, -doc_id): worst element first under (score asc,
@@ -114,48 +114,19 @@ def _wand_task(pdf, *, term_order: list[str], idf: dict[str, float],
         if any(t not in per_term for t in term_order):
             continue  # AND semantics: a term absent from the range ⇒ no hit
 
-        # rarest-first intersection with block skipping (sorted-array ops)
-        cand_docs = None  # int64 ndarray, ascending, unique
-        cand_scores = None
-        for t in term_order:
-            gg = per_term[t].sort_values(["shard", "doc_min"])
-            if cand_docs is not None:
-                if cand_docs.size == 0:
-                    break
-                lo, hi = int(cand_docs[0]), int(cand_docs[-1])
-                gg = gg[(gg["doc_max"] >= lo) & (gg["doc_min"] <= hi)]
-            parts_d, parts_s = [], []
-            idf_t = idf[t]
-            for docs_bin, tfs_bin, dls_bin in zip(
-                    gg["docs_bin"], gg["tfs_bin"], gg["dls_bin"]):
-                ds, ts, ls = np_decode_posting_block(
-                    bytes(docs_bin), bytes(tfs_bin), bytes(dls_bin))
-                if cand_docs is None:
-                    m = (ds >= w_lo) & (ds < w_hi)
-                    ds, ts, ls = ds[m], ts[m], ls[m]
-                if ds.size:
-                    parts_d.append(ds)
-                    parts_s.append(
-                        idf_t * np_bm25_tfpart(ts, ls, avgdl, k1, b))
-            if not parts_d:
-                cand_docs = np.empty(0, dtype=np.int64)
-                cand_scores = np.empty(0, dtype=np.float64)
-                continue
-            d_all = np.concatenate(parts_d)
-            s_all = np.concatenate(parts_s)
-            if cand_docs is None:
-                # blocks within a (term, range) are disjoint ascending runs,
-                # but sort defensively — correctness must not depend on it
-                order = np.argsort(d_all, kind="stable")
-                cand_docs, cand_scores = d_all[order], s_all[order]
-            else:
-                # AND step: docs outside the window can't be in cand_docs
-                common, ia, ib = np.intersect1d(
-                    cand_docs, d_all, assume_unique=True,
-                    return_indices=True)
-                cand_docs = common
-                cand_scores = cand_scores[ia] + s_all[ib]
-        if cand_docs is None or cand_docs.size == 0:
+        # rarest-first intersection with block skipping — the shared numpy
+        # kernel (operators/postings.py::np_intersect_score_blocks), range
+        # window applied to the first term only
+        per_term_blocks = {
+            t: list(zip(gg2["docs_bin"], gg2["tfs_bin"], gg2["dls_bin"],
+                        gg2["doc_min"], gg2["doc_max"]))
+            for t, gg2 in ((t, per_term[t].sort_values(["shard", "doc_min"]))
+                           for t in term_order)
+        }
+        cand_docs, cand_scores = np_intersect_score_blocks(
+            per_term_blocks, term_order, idf, avgdl, k1, b,
+            window=(w_lo, w_hi))
+        if cand_docs.size == 0:
             continue
         for d, s in zip(cand_docs.tolist(), cand_scores.tolist()):
             item = (s, -d)

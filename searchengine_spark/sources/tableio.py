@@ -204,7 +204,10 @@ class TableIO:
 
     def _acquire_commit_lock(self, blocking: bool) -> bool:
         lock = os.path.join(self.work_dir, "_commit.lock")
-        deadline = time.monotonic() + 600.0
+        # deadline must exceed the stale-age threshold, else a recent hard
+        # crash would spin the full deadline and fail instead of taking
+        # the dead writer's lock over
+        deadline = time.monotonic() + 1200.0
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -212,16 +215,7 @@ class TableIO:
                 os.close(fd)
                 return True
             except FileExistsError:
-                # stale-lock takeover: a crashed writer never unlinks
-                try:
-                    age = time.time() - os.path.getmtime(lock)
-                except OSError:
-                    continue  # holder released between open and stat
-                if age > 900:
-                    try:
-                        os.remove(lock)
-                    except OSError:
-                        pass
+                if self._takeover_dead_lock(lock):
                     continue
                 if not blocking:
                     return False
@@ -229,19 +223,58 @@ class TableIO:
                     raise TimeoutError(f"commit lock held too long: {lock}")
                 time.sleep(0.05)
 
+    @staticmethod
+    def _takeover_dead_lock(lock: str) -> bool:
+        """Remove the lock iff its holder is provably gone: the recorded
+        PID is not alive (same-host writers — the single-writer contract)
+        or the file is ancient (clock fallback). The unlink re-stats and
+        compares (dev, ino) first, so a holder that released-and-
+        reacquired between our stat and unlink is never clobbered (the
+        TOCTOU window shrinks to syscall width and additionally requires
+        PID reuse)."""
+        try:
+            st = os.stat(lock)
+            with open(lock) as f:
+                pid_txt = f.read().strip()
+        except OSError:
+            return True  # holder released; caller retries the create
+        dead = False
+        if pid_txt.isdigit():
+            try:
+                os.kill(int(pid_txt), 0)
+            except ProcessLookupError:
+                dead = True
+            except PermissionError:
+                pass  # alive under another uid
+        if not dead and time.time() - st.st_mtime <= 900:
+            return False
+        try:
+            st2 = os.stat(lock)
+            if (st2.st_dev, st2.st_ino) != (st.st_dev, st.st_ino):
+                return False  # replaced by a live writer meanwhile
+            os.remove(lock)
+        except OSError:
+            pass
+        return True
+
     def _release_commit_lock(self) -> None:
         try:
             os.remove(os.path.join(self.work_dir, "_commit.lock"))
         except FileNotFoundError:
             pass
 
-    def vacuum(self, table: str) -> int:
+    def vacuum(self, table: str, required: bool = False) -> int:
         """Delete data files not referenced by the table's manifest —
         debris from an interrupted partition overwrite. Returns the number
-        of files removed. Takes the commit lock (non-blocking): if a commit
-        is in flight its uncommitted gen-* files must survive, so vacuum
-        simply skips (the committer vacuums after its manifest swap)."""
-        if not self._acquire_commit_lock(blocking=False):
+        of files removed. Takes the commit lock: if a LIVE commit is in
+        flight its uncommitted gen-* files must survive, so the default
+        non-blocking acquire skips and the committer vacuums after its
+        manifest swap. A dead holder's lock is taken over immediately
+        (PID-liveness check), so a hard crash never blocks cleanup.
+        required=True (the serving path, where directory reads MUST equal
+        the snapshot) blocks until the lock is available instead of
+        skipping."""
+        if not self._acquire_commit_lock(blocking=required):
             return 0
         try:
             return self._vacuum_locked(table)
@@ -262,6 +295,57 @@ class TableIO:
                     os.remove(fp)
                     removed += 1
         return removed
+
+    def replace_table(self, df: DataFrame, stage: str,
+                      table: str | None = None,
+                      extra: dict | None = None) -> StageResult:
+        """Atomic FULL-table overwrite — the unpartitioned analog of
+        overwrite_partitions: write the replacement to a side directory
+        (safe for a df whose lineage reads the target table), move the
+        files into the live directory under generation-unique names (old
+        files untouched), atomically swap the manifest to list only the
+        new files, vacuum the superseded ones. A crash at any step leaves
+        the old snapshot fully readable — unlike write_stage, whose
+        Spark-side mode("overwrite") deletes the live directory first."""
+        import uuid
+
+        table = table or stage
+        target = self.path(table)
+        tmp = os.path.join(self.work_dir, f"_tmp_{table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        t0 = time.monotonic()
+        df.write.mode("overwrite").parquet(tmp)
+        self._acquire_commit_lock(blocking=True)
+        try:
+            self._vacuum_locked(table)
+            gen = uuid.uuid4().hex[:12]
+            os.makedirs(target, exist_ok=True)
+            fresh = []
+            for root, _, fs in os.walk(tmp):
+                for fn in sorted(fs):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(root, fn)
+                    out = os.path.join(target, f"gen-{gen}-{fn}")
+                    meta = pq.read_metadata(fp)
+                    shutil.move(fp, out)
+                    fresh.append({
+                        "path": os.path.relpath(out, self.work_dir),
+                        "rows": meta.num_rows,
+                        "bytes": os.path.getsize(out),
+                    })
+            shutil.rmtree(tmp, ignore_errors=True)
+            result = StageResult(
+                stage=stage, status="complete",
+                rows=sum(f["rows"] for f in fresh),
+                bytes=sum(f["bytes"] for f in fresh),
+                wall_ms=int((time.monotonic() - t0) * 1000),
+                files=fresh, extra=extra or {})
+            self.write_manifest(result)  # atomic commit point
+            self._vacuum_locked(table)
+            return result
+        finally:
+            self._release_commit_lock()
 
     def overwrite_partitions(self, df: DataFrame, stage: str,
                              partition_col: str, values: list,

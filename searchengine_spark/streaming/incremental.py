@@ -305,19 +305,15 @@ def _commit_docs(spark, io: TableIO, cfg: EngineConfig,
     n_b = int(docs_extra.get("doc_id_buckets", cfg.doc_id_buckets))
 
     if not docs_extra.get("url_bucket_partitioned"):
-        # legacy unpartitioned docs table: full (but staged + manifest-
-        # swapped) rewrite; the side-dir staging keeps the read-side
-        # lineage off the directory being overwritten
+        # legacy unpartitioned docs table: full rewrite via the atomic
+        # replace protocol (side-dir write + generation move + manifest
+        # swap) — the old snapshot stays readable through any crash, so
+        # resume_delta can always replay
         kept = io.read("docs").join(touched_urls, "url", "left_anti")
         new_docs = kept.select(*DOC_COLS)
         if delta_docs is not None:
             new_docs = new_docs.unionByName(delta_docs.select(*DOC_COLS))
-        side = os.path.join(io.work_dir, "_staged_docs_full")
-        new_docs.write.mode("overwrite").parquet(side)
-        staged = spark.read.parquet(side)
-        res = io.write_stage(staged, "docs", extra=docs_extra).to_json()
-        shutil.rmtree(side, ignore_errors=True)
-        return res
+        return io.replace_table(new_docs, "docs", extra=docs_extra).to_json()
 
     bucket_of_url = url_bucket_col(F.col("url"), n_b)
     url_frames = [touched_urls]

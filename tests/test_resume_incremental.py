@@ -295,6 +295,60 @@ def test_remove_page_df_decrement(inc_engine):
     assert victim["url"] not in urls and len(urls) == N - 1
 
 
+def test_pending_delta_blocks_serving_and_dead_lock_is_taken_over(
+        inc_engine, spark):
+    """(1) A pending (interrupted) delta must refuse queries — per-table
+    manifests are complete in that state, so only the marker can catch the
+    mixed snapshot. (2) A commit lock left by a DEAD writer (hard crash)
+    must be taken over immediately: vacuum/warm must not skip cleanup or
+    spin for the stale window."""
+    import json
+    import subprocess
+    import sys
+
+    import pytest as _pytest
+
+    from searchengine_spark.streaming import incremental as inc
+
+    io = inc_engine.io
+    # (1) fake a pending delta marker
+    root = inc._delta_path(io)
+    os.makedirs(root, exist_ok=True)
+    with open(inc._delta_path(io, "pending.json"), "w") as f:
+        json.dump({"has_changed": False}, f)
+    inc_engine._query_engine = None  # force a fresh QueryEngine
+    with _pytest.raises(RuntimeError, match="resume_upsert"):
+        inc_engine.search("леопард обитает")
+    shutil.rmtree(root, ignore_errors=True)
+    inc_engine._query_engine = None
+    assert inc_engine.search("леопард обитает")["result"] in (True, False)
+
+    # (2) dead-writer lock: pid of an already-exited child
+    child = subprocess.run([sys.executable, "-c", "import os; print(os.getpid())"],
+                           capture_output=True, text=True)
+    dead_pid = int(child.stdout.strip())
+    lock = os.path.join(io.work_dir, "_commit.lock")
+    with open(lock, "w") as f:
+        f.write(str(dead_pid))
+    assert io.vacuum("postings", required=True) >= 0  # no spin, no skip
+    assert not os.path.exists(lock)  # stale lock was taken over + released
+
+    # a LIVE holder (this process) is honored: non-blocking vacuum skips
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    # create debris that an (incorrectly) running vacuum would delete
+    debris = os.path.join(io.path("postings"), "term_bucket=0",
+                          "gen-deadbeef-part-debris.parquet")
+    os.makedirs(os.path.dirname(debris), exist_ok=True)
+    with open(debris, "wb") as f:
+        f.write(b"not-a-parquet")
+    assert io.vacuum("postings") == 0  # skipped: live lock held
+    assert os.path.exists(debris)
+    os.remove(lock)
+    assert io.vacuum("postings") >= 1  # lock free: debris removed
+    assert not os.path.exists(debris)
+
+
 def test_remove_site_cascade(inc_engine):
     from searchengine_spark import oracle as O
     from searchengine_spark.sources.corpus import gen_pages_local
