@@ -98,7 +98,9 @@ def run_level(cpus: int, n_docs: int) -> dict:
 
             eng.warm()  # serving mode: index resident in executor memory
             lat_exact, lat_wand = [], []
-            for q in reference_queries():
+            queries = ([] if os.environ.get("SPARK_GRAFT_SCALE_SKIP_QUERIES")
+                       else reference_queries())
+            for q in queries:
                 t0 = time.monotonic()
                 r = eng.search(q["query"], limit=q["k"], offset=q["offset"],
                                site=q["site"], with_snippets=False)
