@@ -113,8 +113,11 @@ def run_level(cpus: int, n_docs: int) -> dict:
                     lat_wand.append(time.monotonic() - t0)
 
             def p(xs, q):
+                # None (JSON null) when queries were skipped — a skipped
+                # measurement must be distinguishable from a measured 0 ms
                 xs = sorted(xs)
-                return xs[max(0, int(len(xs) * q) - 1)] if xs else 0.0
+                return (round(xs[max(0, int(len(xs) * q) - 1)], 4)
+                        if xs else None)
 
             return {
                 "cpus": cpus,
@@ -128,10 +131,10 @@ def run_level(cpus: int, n_docs: int) -> dict:
                 "stage_wall_ms": {s: report[s]["wall_ms"] for s in
                                   ("docs", "postings", "terms", "site_stats",
                                    "blocks")},
-                "query_p50_exact": round(p(lat_exact, 0.50), 4),
-                "query_p95_exact": round(p(lat_exact, 0.95), 4),
-                "query_p50_wand": round(p(lat_wand, 0.50), 4),
-                "query_p95_wand": round(p(lat_wand, 0.95), 4),
+                "query_p50_exact": p(lat_exact, 0.50),
+                "query_p95_exact": p(lat_exact, 0.95),
+                "query_p50_wand": p(lat_wand, 0.50),
+                "query_p95_wand": p(lat_wand, 0.95),
                 "n_queries": len(lat_exact),
             }
     finally:
@@ -239,9 +242,72 @@ def _control_work(args):
     return n
 
 
+def run_matched(n_pairs: int) -> dict:
+    """Interleaved matched-trial protocol (round-4 figure of record): trials
+    alternate levels back-to-back (lo, hi, lo, hi, ...) so each PAIR shares
+    one host-noise window; efficiency is computed per pair and summarized as
+    median/min over pairs. Best-trial-per-level is reported only as an upper
+    bound. Each trial is a fresh subprocess (cold JVM), one timed build
+    (SPARK_GRAFT_SCALE_TRIALS=1), queries skipped."""
+    lo_l, hi_l = LEVELS[0], LEVELS[1]
+    ratio = hi_l / lo_l
+    env = {**os.environ, "SPARK_GRAFT_SCALE_TRIALS": "1",
+           "SPARK_GRAFT_SCALE_SKIP_QUERIES": "1"}
+    here = os.path.dirname(os.path.abspath(__file__))
+    pairs = []
+    for i in range(n_pairs):
+        pair = {}
+        for lvl in (lo_l, hi_l):
+            out = f"/tmp/sescale_m{i}_{lvl}.json"
+            print(f"--- matched pair {i + 1}/{n_pairs}: local[{lvl}] ---",
+                  file=sys.stderr)
+            subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--child", str(lvl), out],
+                           check=True, cwd=here, env=env)
+            with open(out) as f:
+                pair[lvl] = json.load(f)
+        eff = pair[hi_l]["docs_per_sec"] / (ratio * pair[lo_l]["docs_per_sec"])
+        pairs.append({
+            "pair": i,
+            "lo": pair[lo_l], "hi": pair[hi_l],
+            "efficiency": round(eff, 4),
+        })
+        print(f"pair {i}: lo {pair[lo_l]['docs_per_sec']} docs/s "
+              f"(steal {pair[lo_l]['host_steal_during_build']:.3f}) | "
+              f"hi {pair[hi_l]['docs_per_sec']} docs/s "
+              f"(steal {pair[hi_l]['host_steal_during_build']:.3f}) | "
+              f"eff {eff:.3f}", file=sys.stderr)
+    effs = sorted(p["efficiency"] for p in pairs)
+    mid = len(effs) // 2
+    median = (effs[mid] if len(effs) % 2
+              else round((effs[mid - 1] + effs[mid]) / 2, 4))
+    best_lo = max(p["lo"]["docs_per_sec"] for p in pairs)
+    best_hi = max(p["hi"]["docs_per_sec"] for p in pairs)
+    summary = {
+        "protocol": "interleaved matched pairs, fresh JVM per trial, "
+                    "one timed build each, queries skipped",
+        "levels": [lo_l, hi_l],
+        "n_docs": N_DOCS,
+        "n_pairs": n_pairs,
+        "pairs": pairs,
+        "efficiency_median": median,
+        "efficiency_min": effs[0],
+        "efficiency_max": effs[-1],
+        "efficiency_best_trial_upper_bound":
+            round(best_hi / (ratio * best_lo), 4),
+    }
+    with open("bench_scaling_matched.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "pairs"}))
+    return summary
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--control":
         print(json.dumps(run_control()))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--matched":
+        run_matched(int(sys.argv[2]) if len(sys.argv) > 2 else 5)
         return
     if len(sys.argv) >= 4 and sys.argv[1] == "--child":
         cpus, out = int(sys.argv[2]), sys.argv[3]

@@ -220,12 +220,24 @@ def np_intersect_score_blocks(per_term_blocks, term_order, idf,
             return empty  # AND semantics: term absent => no hit
         d_all = np.concatenate(parts_d)
         s_all = np.concatenate(parts_s)
-        if cand_docs is None:
-            # blocks of one (term, shard) are disjoint ascending runs, but
-            # sort defensively — correctness must not depend on layout
+        # blocks of one (term, shard) are disjoint ascending runs, so the
+        # concatenation SHOULD already be strictly ascending and unique —
+        # but correctness must not depend on layout: verify (one O(n)
+        # diff), and if an invariant is ever violated (e.g. a duplicate
+        # (term, doc) posting written by an incremental-rewrite bug)
+        # repair deterministically — sort, then keep the FIRST posting of
+        # each doc — instead of letting assume_unique corrupt scores
+        if d_all.size > 1 and not (np.diff(d_all) > 0).all():
             order = np.argsort(d_all, kind="stable")
-            cand_docs, cand_scores = d_all[order], s_all[order]
+            d_all, s_all = d_all[order], s_all[order]
+            keep = np.empty(d_all.size, dtype=bool)
+            keep[0] = True
+            np.not_equal(d_all[1:], d_all[:-1], out=keep[1:])
+            d_all, s_all = d_all[keep], s_all[keep]
+        if cand_docs is None:
+            cand_docs, cand_scores = d_all, s_all
         else:
+            # sound: both sides verified/repaired to sorted-unique above
             common, ia, ib = np.intersect1d(
                 cand_docs, d_all, assume_unique=True, return_indices=True)
             cand_docs = common

@@ -225,13 +225,22 @@ class TableIO:
 
     @staticmethod
     def _takeover_dead_lock(lock: str) -> bool:
-        """Remove the lock iff its holder is provably gone: the recorded
-        PID is not alive (same-host writers — the single-writer contract)
-        or the file is ancient (clock fallback). The unlink re-stats and
-        compares (dev, ino) first, so a holder that released-and-
-        reacquired between our stat and unlink is never clobbered (the
-        TOCTOU window shrinks to syscall width and additionally requires
-        PID reuse)."""
+        """Remove the lock iff its holder is provably gone (the recorded
+        PID is not alive — same-host writers, the single-writer contract).
+        The age fallback applies ONLY when liveness is inconclusive
+        (non-numeric PID, e.g. a cross-host writer): a holder that
+        os.kill(pid, 0) confirms alive is NEVER reaped, however old the
+        file — long commit sections touch the lock mtime periodically
+        (_touch_commit_lock) so inconclusive holders stay fresh too.
+
+        Reap = rename-to-unique THEN unlink: rename is atomic, so of two
+        waiters that both saw the dead lock only one's rename succeeds —
+        the loser can no longer unlink a fresh lock the winner just
+        created at the original path. The (dev, ino) re-stat before the
+        rename keeps the remaining TOCTOU at syscall width (and a false
+        reap additionally requires PID reuse)."""
+        import uuid
+
         try:
             st = os.stat(lock)
             with open(lock) as f:
@@ -242,20 +251,34 @@ class TableIO:
         if pid_txt.isdigit():
             try:
                 os.kill(int(pid_txt), 0)
+                return False  # provably ALIVE: age never overrides
             except ProcessLookupError:
                 dead = True
             except PermissionError:
-                pass  # alive under another uid
+                return False  # alive under another uid
+            except OSError:
+                pass  # inconclusive — fall through to the age check
         if not dead and time.time() - st.st_mtime <= 900:
             return False
         try:
             st2 = os.stat(lock)
             if (st2.st_dev, st2.st_ino) != (st.st_dev, st.st_ino):
                 return False  # replaced by a live writer meanwhile
-            os.remove(lock)
+            tomb = f"{lock}.reap-{uuid.uuid4().hex[:12]}"
+            os.rename(lock, tomb)
+            os.remove(tomb)
         except OSError:
             pass
         return True
+
+    def _touch_commit_lock(self) -> None:
+        """Heartbeat for long-held commit sections: refresh the lock mtime
+        so the age fallback (which only fires for liveness-inconclusive
+        holders) never reaps a live writer mid-commit."""
+        try:
+            os.utime(os.path.join(self.work_dir, "_commit.lock"))
+        except OSError:
+            pass
 
     def _release_commit_lock(self) -> None:
         try:
@@ -322,6 +345,7 @@ class TableIO:
             os.makedirs(target, exist_ok=True)
             fresh = []
             for root, _, fs in os.walk(tmp):
+                self._touch_commit_lock()  # heartbeat: long moves stay fresh
                 for fn in sorted(fs):
                     if not fn.endswith(".parquet"):
                         continue
@@ -399,6 +423,7 @@ class TableIO:
         replaced = [f"{partition_col}={v}" for v in values]
         fresh = []
         for sub in replaced:
+            self._touch_commit_lock()  # heartbeat: long moves stay fresh
             src = os.path.join(tmp, sub)
             if not os.path.isdir(src):
                 continue  # partition emptied by this commit
