@@ -45,6 +45,13 @@ TOKENS_SCHEMA = StructType([
     StructField("dl", IntegerType(), False),
 ])
 
+# when the input docs carry a `site` column, postings additionally carry
+# site_id = xxhash64(site) — 8 bytes/row vs the ~40%-of-shuffle host
+# STRING the original design rejected — so per-site aggregations
+# (site_stats) are joins-free scans instead of a postings⋈docs shuffle
+TOKENS_SCHEMA_SITED = StructType(
+    TOKENS_SCHEMA.fields + [StructField("site_id", LongType(), False)])
+
 
 def _site_of(url: str) -> str:
     rest = url.split("://", 1)[-1]
@@ -90,16 +97,24 @@ def extract_docs(pages: DataFrame) -> DataFrame:
 
 
 def tokens_from_docs(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, text) -> (doc_id, term, tf, dl).
+    """docs(doc_id, text[, site]) -> (doc_id, term, tf, dl[, site_id]).
 
     tf is aggregated inside the batch (per-document Counter) so the shuffle
     that follows (term repartition / groupBy) moves one row per (doc, term),
     never one row per token occurrence. dl (=Σtf) rides along to make BM25
     scoring a pure column expression downstream — no docs join at query
-    time. Deliberately NO site column: a repeated host string through the
-    doc→term shuffle is ~40% of the shuffle bytes at web scale; the
-    site-filtered query path (J4) semi-joins candidates against docs
-    instead (plans/query.py)."""
+    time. Deliberately NO site STRING column: a repeated host string
+    through the doc→term shuffle is ~40% of the shuffle bytes at web scale;
+    the site-filtered query path (J4) semi-joins candidates against docs
+    instead (plans/query.py). When the input has `site`, an 8-byte
+    site_id = xxhash64(site) (computed Spark-side, so the SQL twin is
+    bit-identical) rides the post-aggregation rows instead: it makes the
+    per-site build aggregation (site_stats) a column-pruned scan with NO
+    postings⋈docs join — one extra int64 on one existing shuffle vs a
+    second full postings-sized shuffle."""
+    sited = "site" in docs.columns
+    if sited:
+        docs = docs.withColumn("site_id", F.xxhash64("site"))
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
@@ -108,8 +123,10 @@ def tokens_from_docs(docs: DataFrame) -> DataFrame:
         for rb in batches:
             doc_id_a = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
             text_a = rb.column(rb.schema.get_field_index("text")).to_pylist()
-            doc_ids, terms, tfs, dls = [], [], [], []
-            for doc_id, text in zip(doc_id_a, text_a):
+            site_a = (rb.column(rb.schema.get_field_index("site_id"))
+                      .to_pylist() if sited else None)
+            doc_ids, terms, tfs, dls, sids = [], [], [], [], []
+            for i, (doc_id, text) in enumerate(zip(doc_id_a, text_a)):
                 counts = split_to_lemmas(text, lex)
                 dl = sum(counts.values())
                 for term, tf in counts.items():
@@ -117,12 +134,20 @@ def tokens_from_docs(docs: DataFrame) -> DataFrame:
                     terms.append(term)
                     tfs.append(tf)
                     dls.append(dl)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(doc_ids, pa.int64()),
-                 pa.array(terms, pa.string()), pa.array(tfs, pa.int32()),
-                 pa.array(dls, pa.int32())],
-                ["doc_id", "term", "tf", "dl"])
+                    if sited:
+                        sids.append(site_a[i])
+            cols = [pa.array(doc_ids, pa.int64()),
+                    pa.array(terms, pa.string()), pa.array(tfs, pa.int32()),
+                    pa.array(dls, pa.int32())]
+            names = ["doc_id", "term", "tf", "dl"]
+            if sited:
+                cols.append(pa.array(sids, pa.int64()))
+                names.append("site_id")
+            yield pa.RecordBatch.from_arrays(cols, names)
 
+    if sited:
+        return docs.select("doc_id", "text", "site_id").mapInArrow(
+            fn, schema=TOKENS_SCHEMA_SITED)
     return docs.select("doc_id", "text").mapInArrow(fn, schema=TOKENS_SCHEMA)
 
 
@@ -139,8 +164,13 @@ def lexicon_df(spark) -> DataFrame:
 
 
 def tokens_from_docs_sql(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, text) -> (doc_id, term, tf, dl): the all-Catalyst twin
-    of tokens_from_docs — zero Python in the hot path.
+    """docs(doc_id, text[, site]) -> (doc_id, term, tf, dl[, site_id]):
+    the all-Catalyst twin of tokens_from_docs — zero Python in the hot
+    path. site_id (when `site` is present) is the same Spark-side
+    xxhash64, so the twins stay row-identical; here it rides the one
+    doc_id exchange at token grain (+8 B/occurrence — the Arrow twin
+    pays it only at (doc, term) grain, one reason it stays the
+    measurement-pinned default).
 
     Tokenization is the reference regex (LemmaSearch.java:35-36) as native
     expressions: lower -> regexp_replace('[^а-я\\s]','') -> trim -> split
@@ -158,8 +188,18 @@ def tokens_from_docs_sql(docs: DataFrame) -> DataFrame:
 
     spark = docs.sparkSession
     lex = F.broadcast(lexicon_df(spark))
+    sited = "site" in docs.columns
+    sel = ["doc_id"]
+    group = ["doc_id"]
+    if sited:
+        docs = docs.withColumn("site_id", F.xxhash64("site"))
+        sel.append("site_id")
+        # site_id is functionally dependent on doc_id, so adding it to the
+        # grouping keys changes no group; HashPartitioning(doc_id) still
+        # satisfies the clustering (subset rule) — no extra exchange
+        group.append("site_id")
     toks = (docs
-            .select("doc_id",
+            .select(*sel,
                     F.explode(F.split(
                         F.trim(F.regexp_replace(F.lower(F.col("text")),
                                                 "[^а-я\\s]", "")),
@@ -170,11 +210,13 @@ def tokens_from_docs_sql(docs: DataFrame) -> DataFrame:
             # window's partitioning, so neither adds its own shuffle
             .repartition("doc_id"))
     tf = (toks.join(lex, "surface")
-              .groupBy("doc_id", "lemma")
+              .groupBy(*group, "lemma")
               .agg(F.count("*").cast("int").alias("tf")))
     dl = F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
-    return tf.select("doc_id", F.col("lemma").alias("term"), "tf",
-                     dl.alias("dl"))
+    out = ["doc_id", F.col("lemma").alias("term"), "tf", dl.alias("dl")]
+    if sited:
+        out.append("site_id")
+    return tf.select(*out)
 
 
 def doc_lengths(docs_with_text: DataFrame) -> DataFrame:

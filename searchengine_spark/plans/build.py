@@ -75,39 +75,75 @@ class IndexBuilder:
         if not resume:
             self.io.invalidate_from(STAGES, STAGES[0])
 
-        stage_fns = {
-            "docs": lambda: self._stage_docs(pages),
-            "postings": self._stage_postings,
-            "terms": self._stage_terms,
-            "stats": self._stage_stats,
-            "site_stats": self._stage_site_stats,
-            "blocks": self._stage_blocks,
-        }
         t0 = time.monotonic()
-        current = STAGES[0]
+        started: list[str] = []  # append-only; GIL-atomic across branches
+
+        def run_stage(s: str, fn) -> None:
+            started.append(s)
+            if resume and self.io.stage_complete(s):
+                report[s] = {**self.io.read_manifest(s), "skipped": True}
+                return
+            if self.stop_event is not None and self.stop_event.is_set():
+                raise InterruptedError("build stopped by user")
+            report[s] = fn().to_json()
+
         self.write_status("INDEXING")
         try:
-            for s in STAGES:
-                current = s
-                if resume and self.io.stage_complete(s):
-                    report[s] = {**self.io.read_manifest(s), "skipped": True}
-                    continue
-                if self.stop_event is not None and self.stop_event.is_set():
-                    raise InterruptedError("build stopped by user")
-                self.write_status("INDEXING", stage=s)
-                report[s] = stage_fns[s]().to_json()
+            self.write_status("INDEXING", stage="docs")
+            run_stage("docs", lambda: self._stage_docs(pages))
+            self.write_status("INDEXING", stage="postings")
+            run_stage("postings", self._stage_postings)
+
+            # site_stats depends only on docs+postings, nothing downstream
+            # of it until the end — run it CONCURRENTLY with the
+            # terms→stats→blocks chain (independent DAG branches; the
+            # driver-side gaps between one branch's jobs are filled by the
+            # other's tasks). This is serial fixed cost under Amdahl:
+            # removing it is worth more at higher parallelism, which is
+            # exactly what the north_rule's scaling criterion measures.
+            # InheritableThread propagates the job group (C2 stop) and a
+            # plain dict/list carries the branch's report entries (GIL-
+            # atomic). Each stage still commits its own manifest, so
+            # resume/abort semantics are unchanged.
+            self.write_status("INDEXING", stage="terms+site_stats")
+            from pyspark import InheritableThread
+
+            branch_exc: list[BaseException] = []
+
+            def ss_branch() -> None:
+                try:
+                    run_stage("site_stats", self._stage_site_stats)
+                except BaseException as e:  # surfaced after join
+                    branch_exc.append(e)
+
+            th = InheritableThread(target=ss_branch, daemon=True)
+            th.start()
+            try:
+                run_stage("terms", self._stage_terms)
+                run_stage("stats", self._stage_stats)
+                self.write_status("INDEXING", stage="blocks")
+                run_stage("blocks", self._stage_blocks)
+            finally:
+                th.join()
+            if branch_exc:
+                raise branch_exc[0]
         except BaseException as exc:  # incl. job-group cancellation
             msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
-            # mark the stage aborted ONLY if it isn't already committed —
+            # mark every attempted-but-uncommitted stage aborted (with
+            # branches, more than one can be in flight) — and ONLY those:
             # a stop landing on a resume-skipped (complete) stage must not
             # clobber its manifest (vacuum would then treat every file of
             # the table as dead)
-            if not self.io.stage_complete(current):
-                self.io.write_manifest(StageResult(
-                    stage=current, status="aborted", rows=0, bytes=0,
-                    wall_ms=int((time.monotonic() - t0) * 1000),
-                    extra={"error": msg}))
-            self.write_status("FAILED", stage=current, error=msg)
+            failed_at = None
+            for s in started:
+                if not self.io.stage_complete(s):
+                    failed_at = failed_at or s
+                    self.io.write_manifest(StageResult(
+                        stage=s, status="aborted", rows=0, bytes=0,
+                        wall_ms=int((time.monotonic() - t0) * 1000),
+                        extra={"error": msg}))
+            self.write_status("FAILED", stage=failed_at or started[-1],
+                              error=msg)
             raise
         self.write_status("INDEXED")
         report["_total_wall_ms"] = int((time.monotonic() - t0) * 1000)
@@ -219,25 +255,36 @@ class IndexBuilder:
         the -1 pages rows) — the same partition-overwrite discipline as
         postings/terms. buckets=None computes every bucket (full build).
 
-        Join shape (the one postings-sized join of the build, so it gets
-        the careful plan): the site STRING never rides the wide shuffle —
-        doc_sites carries xxhash64(site) (no dictionary join needed to
-        encode; 64-bit collisions over even 10^8 sites are ~birthday
-        2^-16, and a collision only merges two sites' counts), the
-        postings⋈doc_sites join is hinted shuffle-hash (int keys, no
+        Plan shape: postings built by this code carry site_id =
+        xxhash64(site) (an 8-byte int attached BEFORE the wide shuffle,
+        functions/udfs.py — 64-bit collisions over even 10^8 sites are
+        ~birthday 2^-16, and a collision only merges two sites' counts),
+        so the lemma counts are ONE aggregation over a column-pruned
+        (site_id, term) scan of postings — no postings-sized join, no
+        docs scan, and the site STRING never rides any shuffle: names
+        join back AFTER aggregation on the tiny (site_id, bucket) frame.
+
+        Legacy fallback (postings written before site_id existed): the
+        old postings⋈doc_sites join, hinted shuffle-hash (int keys, no
         sort-merge sort of the posting rows — measured 2.5× at 480k docs
-        where AQE's broadcast cutoff tips the unhinted plan into SMJ),
-        and the site name joins back AFTER aggregation on the tiny
-        (site_id, bucket) frame."""
-        doc_sites = docs.select("doc_id", F.xxhash64("site").alias("site_id"))
+        where AQE's broadcast cutoff tips the unhinted plan into SMJ)."""
         site_names = (docs.select("site").distinct()
                       .withColumn("site_id", F.xxhash64("site")))
         if buckets is not None:
             postings = postings.filter(F.col("term_bucket").isin(buckets))
-        lem_ids = (postings.select("doc_id", "term_bucket", "term")
-                   .join(doc_sites.hint("shuffle_hash"), "doc_id")
-                   .groupBy("site_id", "term_bucket")
-                   .agg(F.count_distinct("term").cast("long").alias("lemmas")))
+        if "site_id" in postings.columns:
+            lem_ids = (postings.select("site_id", "term_bucket", "term")
+                       .groupBy("site_id", "term_bucket")
+                       .agg(F.count_distinct("term").cast("long")
+                            .alias("lemmas")))
+        else:
+            doc_sites = docs.select("doc_id",
+                                    F.xxhash64("site").alias("site_id"))
+            lem_ids = (postings.select("doc_id", "term_bucket", "term")
+                       .join(doc_sites.hint("shuffle_hash"), "doc_id")
+                       .groupBy("site_id", "term_bucket")
+                       .agg(F.count_distinct("term").cast("long")
+                            .alias("lemmas")))
         lem = (lem_ids.join(site_names, "site_id")
                .select("site", "term_bucket",
                        F.lit(0).cast("long").alias("pages"), "lemmas"))

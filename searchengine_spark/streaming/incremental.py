@@ -228,8 +228,13 @@ def _apply_delta(spark, io: TableIO, cfg: EngineConfig,
                 .filter(F.col("term_bucket").isin(buckets))
                 .join(touched_ids, "doc_id", "left_anti"))
         if delta_tokens is not None:
-            newp = newp.unionByName(
-                delta_tokens.filter(F.col("term_bucket").isin(buckets)))
+            add = delta_tokens.filter(F.col("term_bucket").isin(buckets))
+            if "site_id" not in old_postings.columns:
+                # legacy table built before postings carried site_id —
+                # keep the bucket schema uniform (site_stats falls back
+                # to its join path for this index)
+                add = add.drop("site_id")
+            newp = newp.unionByName(add)
         newp = (newp.repartition(len(buckets), "term_bucket")
                     .sortWithinPartitions("term", "doc_id"))
         report["postings"] = io.overwrite_partitions(

@@ -71,3 +71,24 @@ def test_no_stage_caps_parallelism_below_cores(built_engine):
     cfg = built_engine.cfg
     assert cfg.doc_id_buckets >= 32
     assert cfg.term_buckets >= 32
+
+
+def test_site_stats_frame_is_join_free_on_sited_postings(built_engine):
+    """Postings built by current code carry site_id, so the site_stats
+    lemma aggregation must be ONE column-pruned scan of postings — no
+    postings⋈docs join (that was a second full postings-sized shuffle;
+    the only join left is the tiny post-aggregation site-name attach)."""
+    eng = built_engine
+    from searchengine_spark.plans.build import IndexBuilder
+
+    b = IndexBuilder(eng.spark, eng.io, eng.cfg)
+    postings = eng.io.read("postings")
+    assert "site_id" in postings.columns
+    frame = b._site_stats_frame(eng.io.read("docs"), postings)
+    plan = _plan(frame)
+    # the postings scan reads only (site_id, term) + the partition col
+    schema_lines = [ln for ln in plan.splitlines()
+                    if "ReadSchema" in ln and "tf" in ln]
+    assert not schema_lines, plan  # no scan drags tf/dl/doc_id columns
+    # no join keyed on doc_id anywhere (the legacy fact-table join shape)
+    assert "doc_id" not in plan, plan
