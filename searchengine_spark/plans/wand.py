@@ -14,7 +14,11 @@ Physical plan:
     -> explode block -> covered range_ids             [head-term blocks span
                                                        exactly one range: the
                                                        build's range-sharding
-                                                       width == WAND range]
+                                                       width == WAND range;
+                                                       fan-out bounded by the
+                                                       rarest term's actual
+                                                       posting ranges — see
+                                                       candidate_ranges]
     -> wand_group = range_id % P                      [P tasks, each owning
                                                        many doc ranges]
     -> applyInPandas(wand_task)                       [per task:
@@ -46,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
 
 from ..config import EngineConfig
-from ..operators.postings import np_intersect_score_blocks
+from ..operators.postings import np_intersect_score_blocks, np_varint_decode
 from .build import term_bucket_col
 
 TOPK_SCHEMA = StructType([
@@ -186,17 +190,8 @@ def wand_topk(spark, io, cfg: EngineConfig, terms: list[dict],
         .filter(F.col("term_bucket").isin(buckets))   # partition prune
         .filter(F.col("term").isin(term_order))
     )
-    # explode each block to every doc-range it covers; sharded (head-term)
-    # blocks cover exactly one because shard width == range width
-    exploded = (
-        blocks
-        .withColumn("range_id",
-                    F.explode(F.sequence(
-                        (F.col("doc_min") / F.lit(range_w)).cast("long"),
-                        (F.col("doc_max") / F.lit(range_w)).cast("long"))))
-        .withColumn("wand_group",
-                    (F.col("range_id") % F.lit(n_tasks)).cast("int"))
-    )
+    range_filter = candidate_ranges(blocks, terms, cfg, range_w)
+    exploded = explode_coverage(blocks, range_w, n_tasks, range_filter)
 
     theta0 = 0.0
     phase1 = None
@@ -254,6 +249,62 @@ def wand_topk(spark, io, cfg: EngineConfig, terms: list[dict],
     return (partial.groupBy("doc_id").agg(F.max("score").alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .offset(offset).limit(k))
+
+
+def candidate_ranges(blocks: DataFrame, terms: list[dict],
+                     cfg: EngineConfig, range_w: int) -> list[int] | None:
+    """Ranges that can possibly contain an AND hit, derived from the
+    RAREST term's actual postings — the fan-out bound for the explode.
+
+    A NON-sharded term's 128-posting block can span the whole doc-id
+    space: exploding it to every covered range yields ~n_docs/range_w
+    metadata rows per block and, worse, makes every range a task that
+    re-decodes the same block (at 10^12 docs: ~4×10^7 rows per rare term
+    in a mixed "rare AND stopword" query). AND semantics means a range
+    without a posting of the rarest term can never produce a hit, so when
+    the rarest term is unsharded (df ≤ salt_df_threshold — a BOUNDED
+    decode) its posting ranges are computed once driver-side from its
+    partition-pruned blocks (≤ df postings ⇒ ≤ df/block_size block rows,
+    a few hundred KB) and every term's coverage is filtered to them:
+    exploded rows become O(Σ_t blocks_t + df_rare) instead of
+    O(n_ranges). When even the rarest term is sharded, every query term
+    is (df is minimal at terms[0]), every block covers exactly one range
+    by the shard-width == range-width alignment, and no restriction is
+    needed — returns None (also avoids decoding a 10^11-posting term).
+
+    terms is rarest-first (O1, plans/query.py)."""
+    import numpy as np
+
+    rare = terms[0]
+    if int(rare["df"]) > cfg.salt_df_threshold:
+        return None
+    rare_bins = (blocks.filter(F.col("term") == rare["term"])
+                 .select("docs_bin").collect())
+    rset: set[int] = set()
+    for row in rare_bins:
+        ids = np.cumsum(np_varint_decode(bytes(row["docs_bin"])))
+        rset.update(np.unique(ids // range_w).tolist())
+    return sorted(rset)
+
+
+def explode_coverage(blocks: DataFrame, range_w: int, n_tasks: int,
+                     range_filter: list[int] | None) -> DataFrame:
+    """Explode each block to every doc-range it covers (sharded head-term
+    blocks cover exactly one: shard width == range width), restricted to
+    the candidate_ranges bound when one was derived. The isin list plans
+    as an InSet hash lookup (above the In→InSet conversion threshold)."""
+    exploded = (
+        blocks
+        .withColumn("range_id",
+                    F.explode(F.sequence(
+                        (F.col("doc_min") / F.lit(range_w)).cast("long"),
+                        (F.col("doc_max") / F.lit(range_w)).cast("long"))))
+        .withColumn("wand_group",
+                    (F.col("range_id") % F.lit(n_tasks)).cast("int"))
+    )
+    if range_filter is not None:
+        exploded = exploded.filter(F.col("range_id").isin(range_filter))
+    return exploded
 
 
 def term_bucket_col_val(term: str, n_buckets: int) -> int:

@@ -156,3 +156,81 @@ def test_wand_pagination(built_engine):
     full = _exact_topk(built_engine, terms, 30)
     page = _wand_topk(built_engine, terms, 10, offset=10)
     assert [d for d, _ in page] == [d for d, _ in full[10:20]]
+
+
+def test_rare_term_range_explode_is_bounded(salted_engine):
+    """Mixed query (rare unsharded term AND sharded head term): the
+    exploded block->range coverage must be restricted to ranges where the
+    RAREST term actually has postings — without the bound, the head term
+    contributes one metadata row per range of the whole corpus and every
+    range becomes a task (the 100x-scale failure mode)."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.plans.wand import (candidate_ranges,
+                                               explode_coverage,
+                                               term_bucket_col_val)
+
+    eng = salted_engine
+    cfg = eng.cfg
+    terms_tbl = eng.io.read("terms").collect()
+    rare_row = min((r for r in terms_tbl if r["df"] <= cfg.salt_df_threshold),
+                   key=lambda r: (r["df"], r["term"]))
+    head_row = max(terms_tbl, key=lambda r: (r["df"], r["term"]))
+    assert head_row["df"] > cfg.salt_df_threshold  # actually sharded
+    terms = [{"term": rare_row["term"], "df": rare_row["df"], "idf": 1.0},
+             {"term": head_row["term"], "df": head_row["df"], "idf": 1.0}]
+
+    range_w = cfg.salt_shard_docs
+    names = [t["term"] for t in terms]
+    buckets = sorted({term_bucket_col_val(t, cfg.term_buckets)
+                      for t in names})
+    blocks = (eng.io.read("blocks")
+              .filter(F.col("term_bucket").isin(buckets))
+              .filter(F.col("term").isin(names)))
+
+    cand = candidate_ranges(blocks, terms, cfg, range_w)
+    assert cand is not None and len(cand) <= rare_row["df"]
+
+    bounded = explode_coverage(blocks, range_w, 8, cand)
+    unbounded = explode_coverage(blocks, range_w, 8, None)
+    # head-term rows collapse to the rare term's coverage: at most
+    # blocks-per-range (shard_w/block_size) per candidate range
+    per_range = -(-range_w // cfg.block_size)
+    head_bounded = bounded.filter(F.col("term") == head_row["term"]).count()
+    head_unbounded = (unbounded.filter(F.col("term") == head_row["term"])
+                      .count())
+    assert head_bounded <= per_range * len(cand)
+    assert head_bounded <= head_unbounded
+    # the rare term's own fan-out is bounded by its coverage too (its
+    # unsharded blocks may span many ranges)
+    rare_bounded = bounded.filter(F.col("term") == rare_row["term"]).count()
+    assert rare_bounded <= len(cand) * max(
+        1, -(-rare_row["df"] // cfg.block_size))
+
+    # and the bounded plan still returns the exact answer
+    exact = _exact_topk(eng, terms, 10)
+    wand = _wand_topk(eng, terms, 10)
+    assert [d for d, _ in wand] == [d for d, _ in exact]
+
+
+def test_sharded_rarest_term_skips_range_derivation(salted_engine):
+    """When even the rarest query term is sharded (df > threshold), every
+    block covers exactly one range and candidate_ranges must return None
+    instead of decoding a potentially huge term."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.plans.wand import (candidate_ranges,
+                                               term_bucket_col_val)
+
+    eng = salted_engine
+    cfg = eng.cfg
+    terms_tbl = eng.io.read("terms").collect()
+    sharded = [r for r in terms_tbl if r["df"] > cfg.salt_df_threshold]
+    assert sharded
+    row = min(sharded, key=lambda r: (r["df"], r["term"]))
+    terms = [{"term": row["term"], "df": row["df"], "idf": 1.0}]
+    blocks = (eng.io.read("blocks")
+              .filter(F.col("term_bucket").isin(
+                  [term_bucket_col_val(row["term"], cfg.term_buckets)]))
+              .filter(F.col("term") == row["term"]))
+    assert candidate_ranges(blocks, terms, cfg, cfg.salt_shard_docs) is None
