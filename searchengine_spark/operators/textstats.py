@@ -118,32 +118,57 @@ def simhash64(tf: DataFrame, broadcast_signs: bool = True) -> DataFrame:
     md5(term): weight_b(doc) = Σ tf·(2·bit−1), simhash bit = weight_b > 0.
     Pure column expressions, reproducible in ANSI SQL — this is the real
     near-dup signature (simhash16's 65k buckets are a demo; 2^64 codes +
-    banded Hamming search below scale to web corpora)."""
+    banded Hamming search below scale to web corpora).
+
+    Lane-packed aggregation: weight_b > 0 ⟺ 2·pos_b > total where
+    pos_b = Σ tf·bit_b (non-negative) and total = Σ tf, so only UNSIGNED
+    per-bit sums are needed — three 21-bit lanes pack into one long with
+    no carry between lanes while every lane sum < 2^21 (pos_b ≤ total =
+    doc length; a 2M-token single document would be ~8 MB of text — far
+    beyond any real page). 64 bits therefore aggregate as 22 packed longs
+    + 1 total instead of 64 signed sums, and the per-row join output is
+    22 multiplies tf·mask_j (the term's bits pre-spread 21 apart) instead
+    of 64."""
     # the 64-bit pattern depends only on the TERM: compute md5 digits and
-    # signs once per distinct term (|vocab| rows), then join back — the
-    # per-row work on the big tf frame is 64 multiplies, not 16 md5-hex
-    # conversions × 64 shift/mask expressions
+    # packed masks once per distinct term (|vocab| rows), then join back
     terms = tf.select("term").distinct().withColumn("h", F.md5(F.col("term")))
     digit_vals = [_hex_digit_val(F.substring("h", i + 1, 1))
                   for i in range(16)]
-    sign_cols = []
-    for b in range(64):
-        bit = F.shiftright(digit_vals[b // 4], b % 4).bitwiseAND(F.lit(1))
-        sign_cols.append((bit * 2 - 1).alias(f"g{b}"))
-    term_signs = terms.select("term", *sign_cols)
+    W, L = 21, 3  # lane width (bits), lanes per packed column
+    n_packed = -(-64 // L)
+    mask_cols = []
+    for j in range(n_packed):
+        acc = None
+        for i in range(L):
+            b = L * j + i
+            if b >= 64:
+                break
+            bit = (F.shiftright(digit_vals[b // 4], b % 4)
+                   .bitwiseAND(F.lit(1)).cast("long"))
+            part = bit * F.lit(1 << (W * i))
+            acc = part if acc is None else acc + part
+        mask_cols.append(acc.alias(f"m{j}"))
+    term_signs = terms.select("term", *mask_cols)
     if broadcast_signs:
         term_signs = F.broadcast(term_signs)
     weighted = (tf.join(term_signs, "term")
-                  .select("doc_id",
-                          *[(F.col("tf") * F.col(f"g{b}")).alias(f"w{b}")
-                            for b in range(64)]))
+                  .select("doc_id", F.col("tf").cast("long").alias("tf"),
+                          *[(F.col("tf").cast("long") * F.col(f"m{j}"))
+                            .alias(f"w{j}") for j in range(n_packed)]))
     summed = weighted.groupBy("doc_id").agg(
-        *[F.sum(f"w{b}").alias(f"s{b}") for b in range(64)])
+        F.sum("tf").alias("total"),
+        *[F.sum(f"w{j}").alias(f"s{j}") for j in range(n_packed)])
+    lane_mask = (1 << W) - 1
+
+    def pos(b: int):
+        return (F.shiftright(F.col(f"s{b // L}"), W * (b % L))
+                .bitwiseAND(F.lit(lane_mask)))
+
     half = []
     for lo_bit in (32, 0):  # hi half first
         acc = F.lit(0).cast("long")
         for b in range(lo_bit, lo_bit + 32):
-            acc = acc + F.when(F.col(f"s{b}") > 0,
+            acc = acc + F.when(pos(b) * 2 > F.col("total"),
                                F.lit(1 << (b - lo_bit))).otherwise(F.lit(0))
         half.append(acc)
     return summed.select("doc_id", half[0].alias("simhash_hi"),
@@ -185,11 +210,14 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3,
                        F.col("simhash_lo").alias("lb"), "band", "key")
     ham = (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
            + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))).cast("long")
+    # popcount-filter BEFORE the distinct: far pairs (the overwhelming
+    # majority of band collisions) die in the codegen'd filter instead of
+    # riding the distinct's shuffle
     return (a.join(b, ["band", "key"])
              .filter(F.col("doc_a") < F.col("doc_b"))
+             .filter(ham <= F.lit(max_hamming))
              .select("doc_a", "doc_b", ham.alias("hamming"))
-             .distinct()
-             .filter(F.col("hamming") <= F.lit(max_hamming)))
+             .distinct())
 
 
 def simhash16(tf: DataFrame) -> DataFrame:
