@@ -263,9 +263,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if kind == "lsh":
                 idx = sim.LshAnnIndex(spark, f"{path}/t", dim=EMB_DIM,
                                       n_planes=N_PLANES).build(_emb(spark, sf))
-            else:
+            elif kind == "ivf":
                 idx = sim.IvfAnnIndex(spark, f"{path}/t",
                                       dim=EMB_DIM).build(_emb(spark, sf))
+            else:  # ivf_trained: Lloyd's k-means quantizer (4 iterations)
+                idx = sim.IvfAnnIndex(spark, f"{path}/t", dim=EMB_DIM).build(
+                    _emb(spark, sf), train=True, train_iter=4)
             _ANN_INDEX_CACHE[key] = idx
         return _ANN_INDEX_CACHE[key]
 
@@ -278,6 +281,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ivf_ann_indexed(spark, sf):
         qv = _query_vec(spark, sf)
         idx = _ann_index(spark, sf, "ivf")
+        return idx.ann_topk(qv, k=ANN_K, n_probe=IVF_N_PROBE, exclude_id=0)
+
+    def q_ivf_ann_trained(spark, sf):
+        # k-means-trained quantizer (operators/similarity.py::
+        # train_ivf_centroids): data-dependent centroids can't be embedded
+        # as literals in a static oracle SQL string, so this entry has NO
+        # oracle_sql — the driver records the weaker rows-only check and
+        # tests/test_ann_index.py pins determinism, sidecar round-trip,
+        # list balance vs the fixed quantizer, and a recall floor vs
+        # brute force. The fixed-quantizer ivf_ann_indexed entry keeps
+        # its full hash oracle for the probe machinery itself.
+        qv = _query_vec(spark, sf)
+        idx = _ann_index(spark, sf, "ivf_trained")
         return idx.ann_topk(qv, k=ANN_K, n_probe=IVF_N_PROBE, exclude_id=0)
 
     def q_emb_neardup(spark, sf):
@@ -360,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_multiprobe": q_ivf_ann_multiprobe,
         "lsh_ann_indexed": q_lsh_ann_indexed,
         "ivf_ann_indexed": q_ivf_ann_indexed,
+        "ivf_ann_trained": q_ivf_ann_trained,
         "media_metadata": q_media_metadata,
         "media_resize_dims": q_media_resize_dims,
         "frame_counts": q_frame_counts,

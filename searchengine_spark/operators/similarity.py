@@ -107,42 +107,109 @@ def _centroid_score(vec_col, cent: list[float]):
     return _dot(vec_col, cent) - F.lit(half_norm)
 
 
-def ivf_assign(df: DataFrame, dim: int, n_centroids: int = N_CENTROIDS,
-               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """(vec_id, centroid) — coarse assignment; at scale `centroid` is the
-    partition key so an ANN probe scans one inverted list, IVF-style."""
-    scores = [_centroid_score(F.col(vec_col), ivf_centroid(c, dim))
-              for c in range(n_centroids)]
+def _default_centroids(dim: int, n_centroids: int) -> list[list[float]]:
+    return [ivf_centroid(c, dim) for c in range(n_centroids)]
+
+
+def _assign_col(vec_col, cents: list[list[float]]):
+    """Column: index of the nearest centroid (argmax of v·c − ||c||²/2)."""
+    scores = [_centroid_score(vec_col, c) for c in cents]
     best = F.lit(0)
     best_s = scores[0]
-    for c in range(1, n_centroids):
+    for c in range(1, len(cents)):
         cond = scores[c] > best_s
         best = F.when(cond, F.lit(c)).otherwise(best)
         best_s = F.when(cond, scores[c]).otherwise(best_s)
+    return best.cast("int")
+
+
+def ivf_assign(df: DataFrame, dim: int, n_centroids: int = N_CENTROIDS,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               centroids: list[list[float]] | None = None) -> DataFrame:
+    """(vec_id, centroid) — coarse assignment; at scale `centroid` is the
+    partition key so an ANN probe scans one inverted list, IVF-style.
+    centroids: explicit (e.g. k-means-trained) centroid list overriding
+    the deterministic pseudo-random quantizer."""
+    cents = centroids if centroids is not None \
+        else _default_centroids(dim, n_centroids)
     return df.select(F.col(id_col).alias("vec_id"),
-                     best.cast("int").alias("centroid"))
+                     _assign_col(F.col(vec_col), cents).alias("centroid"))
+
+
+def train_ivf_centroids(df: DataFrame, dim: int,
+                        n_centroids: int = N_CENTROIDS, n_iter: int = 4,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        sample_mod: int | None = None) -> list[list[float]]:
+    """Lloyd's k-means as pure DataFrame ops — the production-shaped IVF
+    quantizer (untrained pseudo-random centroids skew inverted-list sizes
+    at scale: hot lists approach full scans).
+
+    assign step = the same argmax machinery as ivf_assign (one codegen'd
+    projection, no shuffle); update step = posexplode(vector) →
+    groupBy(centroid, pos).avg — one narrow shuffle of (n_centroids×dim)
+    aggregates per iteration; the collected update is n_centroids×dim
+    doubles (the standard distributed-k-means contract: centroids fit on
+    the driver, data never does). Deterministic: init is the fixed
+    pseudo-random quantizer, sampling is by id modulus (partition-order
+    free), iteration count is fixed, and coordinates are rounded to 6
+    decimals each iteration so the result is a stable cross-engine
+    literal list. Empty clusters re-seed deterministically to the points
+    FARTHEST from their assigned centroid (ties by vec_id) — Lloyd's from
+    a fixed init otherwise converges to local optima where one list stays
+    empty and two true clusters share a centroid (the skew this trainer
+    exists to remove)."""
+    vecs = df.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_mod and sample_mod > 1:
+        vecs = vecs.filter(F.col("vec_id") % F.lit(sample_mod) == 0)
+    cents = _default_centroids(dim, n_centroids)
+    for _ in range(n_iter):
+        assigned = vecs.select("vec_id", "v",
+                               _assign_col(F.col("v"), cents)
+                               .alias("centroid"))
+        rows = (assigned
+                .select("centroid",
+                        F.posexplode(F.col("v")).alias("pos", "x"))
+                .groupBy("centroid", "pos")
+                .agg(F.avg("x").alias("m")).collect())
+        new = [list(c) for c in cents]
+        seen = set()
+        for r in rows:
+            new[r["centroid"]][r["pos"]] = round(float(r["m"]), 6)
+            seen.add(r["centroid"])
+        empty = [c for c in range(n_centroids) if c not in seen]
+        if empty:
+            # L2² to the assigned centroid = ||v||² − 2·(v·c − ||c||²/2);
+            # one TakeOrdered over the (small, sampled) training frame
+            d2 = None
+            for c, cent in enumerate(cents):
+                s = _centroid_score(F.col("v"), cent)
+                d2 = (s if d2 is None else F.greatest(d2, s))
+            dist = _dot_cols(F.col("v"), F.col("v")) - 2 * d2
+            far = (assigned.withColumn("d2", dist)
+                   .orderBy(F.col("d2").desc(), F.col("vec_id").asc())
+                   .limit(len(empty)).collect())
+            for c, r in zip(empty, far):
+                new[c] = [round(float(x), 6) for x in r["v"]]
+        cents = new
+    return cents
 
 
 def ivf_centroid_of(query_vec: list[float],
-                    n_centroids: int = N_CENTROIDS) -> int:
-    dim = len(query_vec)
-    best_c, best_s = 0, None
-    for c in range(n_centroids):
-        cent = ivf_centroid(c, dim)
-        s = sum(x * y for x, y in zip(query_vec, cent)) \
-            - sum(x * x for x in cent) / 2.0
-        if best_s is None or s > best_s:
-            best_c, best_s = c, s
-    return best_c
+                    n_centroids: int = N_CENTROIDS,
+                    centroids: list[list[float]] | None = None) -> int:
+    return ivf_centroids_of(query_vec, 1, n_centroids, centroids)[0]
 
 
 def ivf_centroids_of(query_vec: list[float], n_probe: int,
-                     n_centroids: int = N_CENTROIDS) -> list[int]:
+                     n_centroids: int = N_CENTROIDS,
+                     centroids: list[list[float]] | None = None) -> list[int]:
     """The n_probe nearest coarse centroids (multi-probe IVF list set)."""
     dim = len(query_vec)
+    cents = centroids if centroids is not None \
+        else _default_centroids(dim, n_centroids)
     scored = []
-    for c in range(n_centroids):
-        cent = ivf_centroid(c, dim)
+    for c, cent in enumerate(cents):
         s = sum(x * y for x, y in zip(query_vec, cent)) \
             - sum(x * x for x in cent) / 2.0
         scored.append((-s, c))
@@ -152,12 +219,13 @@ def ivf_centroids_of(query_vec: list[float], n_probe: int,
 def ivf_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  n_centroids: int = N_CENTROIDS, vec_col: str = "embedding",
                  id_col: str = "vec_id", exclude_id=None,
-                 n_probe: int = 1) -> DataFrame:
+                 n_probe: int = 1,
+                 centroids: list[list[float]] | None = None) -> DataFrame:
     """ANN: brute-force cosine restricted to the query's n_probe nearest
     IVF lists (n_probe=1 is the classic single-probe quantizer)."""
     dim = len(query_vec)
-    probes = ivf_centroids_of(query_vec, n_probe, n_centroids)
-    members = (ivf_assign(df, dim, n_centroids, vec_col, id_col)
+    probes = ivf_centroids_of(query_vec, n_probe, n_centroids, centroids)
+    members = (ivf_assign(df, dim, n_centroids, vec_col, id_col, centroids)
                .filter(F.col("centroid").isin(probes))
                .select(F.col("vec_id").alias("_m")))
     in_list = df.join(members, F.col(id_col) == F.col("_m"), "left_semi")
@@ -168,30 +236,64 @@ class IvfAnnIndex:
     """Materialized IVF index: embeddings written once partitioned by
     coarse-centroid id; a probe reads n_probe inverted lists' partition
     dirs only (same layout discipline as LshAnnIndex — the partitioned
-    table IS the index; at scale centroids come from k-means and
-    n_centroids grows to sqrt(n))."""
+    table IS the index; n_centroids grows to sqrt(n) at scale).
+
+    build(train=True) runs the Lloyd's trainer (train_ivf_centroids) and
+    persists the trained centroids in a `_centroids.json` sidecar inside
+    the index directory (the leading underscore keeps Spark's parquet
+    reader from treating it as data), so probes against a reopened index
+    route with the SAME quantizer the lists were built with — the
+    assignment function is part of the index, not of the session."""
 
     def __init__(self, spark, path: str, dim: int,
-                 n_centroids: int = N_CENTROIDS):
+                 n_centroids: int = N_CENTROIDS,
+                 centroids: list[list[float]] | None = None):
         self.spark = spark
         self.path = path
         self.dim = dim
         self.n_centroids = n_centroids
+        self.centroids = centroids
 
     def build(self, df: DataFrame, vec_col: str = "embedding",
-              id_col: str = "vec_id") -> "IvfAnnIndex":
-        a = ivf_assign(df, self.dim, self.n_centroids, vec_col, id_col)
+              id_col: str = "vec_id", train: bool = False,
+              train_iter: int = 4,
+              sample_mod: int | None = None) -> "IvfAnnIndex":
+        if train:
+            self.centroids = train_ivf_centroids(
+                df, self.dim, self.n_centroids, n_iter=train_iter,
+                vec_col=vec_col, id_col=id_col, sample_mod=sample_mod)
+        a = ivf_assign(df, self.dim, self.n_centroids, vec_col, id_col,
+                       self.centroids)
         (df.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).alias("embedding"))
            .join(a, "vec_id")
            .repartition("centroid")
            .write.mode("overwrite").partitionBy("centroid")
            .parquet(self.path))
+        if self.centroids is not None:
+            import json
+            import os
+            tmp = os.path.join(self.path, "_centroids.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"centroids": self.centroids}, f)
+            os.replace(tmp, os.path.join(self.path, "_centroids.json"))
         return self
+
+    def _index_centroids(self) -> list[list[float]] | None:
+        if self.centroids is not None:
+            return self.centroids
+        import json
+        import os
+        p = os.path.join(self.path, "_centroids.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                self.centroids = json.load(f)["centroids"]
+        return self.centroids
 
     def ann_topk(self, query_vec: list[float], k: int = 10,
                  n_probe: int = 1, exclude_id=None) -> DataFrame:
-        probes = ivf_centroids_of(query_vec, n_probe, self.n_centroids)
+        probes = ivf_centroids_of(query_vec, n_probe, self.n_centroids,
+                                  self._index_centroids())
         scan = (self.spark.read.parquet(self.path)
                 .filter(F.col("centroid").isin(probes)))
         return cosine_topk(scan, query_vec, k, "embedding", "vec_id",

@@ -169,3 +169,97 @@ def test_lsh_index_recall_floor_on_planted(planted, spark, tmp_path_factory):
             found += 1
     recall = found / len(truth)
     assert recall >= 0.9, f"ANN recall {recall:.2f} below floor"
+
+
+# --- trained (Lloyd's) IVF centroids ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Vectors drawn around 4 tight, far-apart cluster centers that do NOT
+    coincide with the fixed pseudo-random quantizer's centroids — the
+    regime where an untrained quantizer skews inverted-list sizes."""
+    import random
+
+    rng = random.Random(42)
+    centers = [[rng.uniform(-4, 4) for _ in range(DIM)] for _ in range(4)]
+    rows = []
+    for i in range(240):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.uniform(-0.15, 0.15) for x in c]))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+
+
+def test_trained_centroids_balance_lists(spark, clustered):
+    """Lloyd's-trained centroids must spread the inverted lists strictly
+    more evenly than the fixed quantizer on clustered data (max list size
+    closer to the n/k ideal)."""
+    from searchengine_spark.operators.similarity import (ivf_assign,
+                                                         train_ivf_centroids)
+
+    def max_list(centroids):
+        a = ivf_assign(clustered, DIM, 4, centroids=centroids)
+        sizes = [r["n"] for r in
+                 a.groupBy("centroid").agg(F.count("*").alias("n")).collect()]
+        return max(sizes), len(sizes)
+
+    untrained_max, _ = max_list(None)
+    cents = train_ivf_centroids(clustered, DIM, 4, n_iter=4)
+    trained_max, n_lists = max_list(cents)
+    # 4 planted clusters of 60: trained k-means should find them (max 60);
+    # fixed pseudo-random centroids lump clusters together
+    assert trained_max < untrained_max
+    assert trained_max <= 120  # strictly better than 3-in-1 lumping
+    assert n_lists >= 2
+
+
+def test_trained_centroids_are_deterministic(spark, clustered):
+    from searchengine_spark.operators.similarity import train_ivf_centroids
+
+    a = train_ivf_centroids(clustered, DIM, 4, n_iter=3)
+    b = train_ivf_centroids(clustered, DIM, 4, n_iter=3)
+    assert a == b  # fixed init, fixed iterations, rounded updates
+
+
+def test_trained_ivf_index_recall_and_sidecar(spark, clustered,
+                                              tmp_path_factory):
+    """A trained IvfAnnIndex must (a) persist its centroids in the sidecar
+    so a REOPENED index routes with the quantizer the lists were built
+    with, and (b) achieve single-probe recall >= the untrained index on
+    the clustered fixture (trained lists align with the true clusters)."""
+    from searchengine_spark.operators.similarity import (IvfAnnIndex,
+                                                         cosine_topk)
+
+    path_t = str(tmp_path_factory.mktemp("ann") / "ivf_trained")
+    path_u = str(tmp_path_factory.mktemp("ann") / "ivf_untrained")
+    trained = IvfAnnIndex(spark, path_t, dim=DIM, n_centroids=4).build(
+        clustered, train=True, train_iter=4)
+    untrained = IvfAnnIndex(spark, path_u, dim=DIM, n_centroids=4).build(
+        clustered)
+    assert trained.centroids is not None
+
+    # reopen from disk: centroids come from the sidecar, results identical
+    reopened = IvfAnnIndex(spark, path_t, dim=DIM, n_centroids=4)
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in clustered.collect()}
+    q = vecs[1]
+    got_a = trained.ann_topk(q, k=5, exclude_id=1).collect()
+    got_b = reopened.ann_topk(q, k=5, exclude_id=1).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got_a] == \
+           [(r["vec_id"], r["cos"]) for r in got_b]
+    assert reopened.centroids == trained.centroids
+
+    def recall(idx):
+        hits = 0
+        for qid in range(0, 40, 4):
+            want = [r["vec_id"] for r in
+                    cosine_topk(clustered, vecs[qid], k=3,
+                                exclude_id=qid).collect()]
+            got = [r["vec_id"] for r in
+                   idx.ann_topk(vecs[qid], k=3, exclude_id=qid).collect()]
+            hits += len(set(want) & set(got))
+        return hits
+
+    assert recall(trained) >= recall(untrained)
+    assert recall(trained) >= int(0.9 * 10 * 3)  # near-perfect on clusters

@@ -50,10 +50,26 @@ def _rows(df_pandas, cols):
 QUERY_NAMES = sorted(entrymod.queries().keys())
 
 
+# Entries whose results are data-dependent in a way a STATIC oracle SQL
+# string cannot mirror (trained k-means centroids) — the driver records
+# its weaker rows-only check for these; here we assert run-twice
+# determinism + schema instead, and dedicated tests pin their semantics
+# (tests/test_ann_index.py for the trained quantizer).
+NO_ORACLE = {"ivf_ann_trained"}
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_vs_duckdb_oracle(name, spark, ddb):
     q = entrymod.queries()[name]
     sqls = entrymod.oracle_sql()
+    if name in NO_ORACLE:
+        assert name not in sqls  # intentionally oracle-less, not forgotten
+        a = q(spark, SF_DIR).toPandas()
+        b = q(spark, SF_DIR).toPandas()
+        cols = sorted(a.columns)
+        assert len(a) > 0 and sorted(b.columns) == cols
+        assert _rows(a, cols) == _rows(b, cols)  # deterministic
+        return
     assert name in sqls, f"{name} missing oracle_sql"
     got = q(spark, SF_DIR).toPandas()
     want = ddb.execute(sqls[name]).fetchdf()
