@@ -303,6 +303,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         n_planes=N_PLANES,
                                         threshold=EMB_NEARDUP_THRESHOLD)
 
+    def q_emb_neardup_multiset(spark, sf):
+        # union over L=3 independent plane sets (operators/similarity.py::
+        # cosine_neardup_pairs n_plane_sets): candidates collide in ANY
+        # set, deduped before the exact-cosine verify — P(miss) ~ p^3
+        return sim.cosine_neardup_pairs(_emb(spark, sf), dim=EMB_DIM,
+                                        n_planes=N_PLANES,
+                                        threshold=EMB_NEARDUP_THRESHOLD,
+                                        n_plane_sets=3)
+
     def q_ivf_assign(spark, sf):
         return sim.ivf_assign(_emb(spark, sf), dim=EMB_DIM)
 
@@ -382,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_counts": q_frame_counts,
         "audio_durations": q_audio_durations,
         "emb_neardup": q_emb_neardup,
+        "emb_neardup_multiset": q_emb_neardup_multiset,
         "ru_lemma_tf": q_ru_lemma_tf,
         "ru_lemma_df": q_ru_lemma_df,
         "quality_scores": q_quality_scores,
@@ -590,9 +600,11 @@ def _ivf_assign_expr(vec_expr: str, dim: int, n_cent: int = 4) -> str:
     return best
 
 
-def _lsh_bucket_expr(vec_expr: str, dim: int, n_planes: int) -> str:
+def _lsh_bucket_expr(vec_expr: str, dim: int, n_planes: int,
+                     plane_offset: int = 0) -> str:
     parts = [
-        f"(CASE WHEN list_dot_product({vec_expr}, {_hyperplane_sql_literal(j, dim)}) > 0 "
+        f"(CASE WHEN list_dot_product({vec_expr}, "
+        f"{_hyperplane_sql_literal(plane_offset + j, dim)}) > 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(n_planes)
     ]
@@ -826,6 +838,35 @@ pairs AS (
          list_dot_product(a.ve, b.ve)
            / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS cos
   FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {EMB_NEARDUP_THRESHOLD}""",
+        "emb_neardup_multiset": f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+),
+k AS (
+  SELECT vec_id, 0 AS set_id,
+         {_lsh_bucket_expr('ve', EMB_DIM, N_PLANES, 0)} AS bucket FROM v
+  UNION ALL
+  SELECT vec_id, 1,
+         {_lsh_bucket_expr('ve', EMB_DIM, N_PLANES, N_PLANES)} FROM v
+  UNION ALL
+  SELECT vec_id, 2,
+         {_lsh_bucket_expr('ve', EMB_DIM, N_PLANES, 2 * N_PLANES)} FROM v
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM k a JOIN k b ON a.set_id = b.set_id AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b,
+         list_dot_product(va.ve, vb.ve)
+           / (sqrt(list_dot_product(va.ve, va.ve))
+              * sqrt(list_dot_product(vb.ve, vb.ve))) AS cos
+  FROM cand
+  JOIN v va ON cand.id_a = va.vec_id
+  JOIN v vb ON cand.id_b = vb.vec_id
 )
 SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= {EMB_NEARDUP_THRESHOLD}""",
         "ru_lemma_tf": f"""

@@ -21,6 +21,18 @@ import sys
 import time
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(busy_jiffies, steal_jiffies) from /proc/stat — host-noise telemetry
+    so round-over-round comparisons can separate host from code (steal
+    waves on this shared box swing wall-clock by 40%+)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts[:8]]
+    steal = vals[7] if len(vals) > 7 else 0
+    busy = sum(vals) - vals[3] - vals[4]  # minus idle+iowait
+    return busy, steal
+
+
 def make_spark(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -147,14 +159,20 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     spark = make_spark(cpus)
+    b0, s0 = _cpu_stat()
     try:
+        q0 = _cpu_stat()
         timings = bench_queries(spark, sf_dir)
+        q1 = _cpu_stat()
         import tempfile
 
         with tempfile.TemporaryDirectory(prefix="sebench_") as tmp:
+            i0 = _cpu_stat()
             build = bench_index_build(spark, tmp)
+            i1 = _cpu_stat()
     finally:
         spark.stop()
+    b1, s1 = _cpu_stat()
 
     total = round(sum(timings.values()) + build["build_sec"], 4)
     out = {
@@ -165,6 +183,12 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "index_build": build,
+        # steal jiffies / busy jiffies over each window (whole host)
+        "host_steal_pct": round((s1 - s0) / max(1, b1 - b0), 4),
+        "host_steal_pct_queries": round(
+            (q1[1] - q0[1]) / max(1, q1[0] - q0[0]), 4),
+        "host_steal_pct_build": round(
+            (i1[1] - i0[1]) / max(1, i1[0] - i0[0]), 4),
     }
     print(json.dumps(out))
 

@@ -300,27 +300,70 @@ class IvfAnnIndex:
                            exclude_id)
 
 
+def _bucket_code(vec_col, dim: int, n_planes: int, plane_offset: int = 0):
+    """Sign-bit bucket code over planes [plane_offset, plane_offset+n_planes)
+    of the deterministic hyperplane family."""
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        bit = (_dot(vec_col, hyperplane(plane_offset + j, dim)) > 0) \
+            .cast("long")
+        bucket = bucket + bit * F.lit(1 << j)
+    return bucket
+
+
 def cosine_neardup_pairs(df: DataFrame, dim: int,
                          n_planes: int = N_HYPERPLANES,
                          threshold: float = 0.9,
                          vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> DataFrame:
+                         id_col: str = "vec_id",
+                         n_plane_sets: int = 1) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: candidate pairs
     come from equality on the sign-bit bucket (bucket is the join/shuffle
     key — O(Σ bucket²) instead of O(n²)), then exact cosine filters.
-    Note (documented recall bound): pairs split across buckets are missed —
-    the standard LSH trade-off; raise recall with multiple plane sets."""
-    b = lsh_buckets(df, dim, n_planes, vec_col, id_col)
-    v = (df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-         .join(b, "vec_id"))
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-                 "bucket")
-    c = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-                 "bucket")
-    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+
+    n_plane_sets > 1 trades compute for recall the same way banded MinHash
+    does: plane set s uses planes [s·n_planes, (s+1)·n_planes) of the same
+    deterministic family, a pair is a candidate if it collides in ANY set
+    (P(miss) drops from p to p^L for independent sets), and candidates are
+    deduplicated BEFORE the exact-cosine verify so each pair is scored
+    once. All sets ride ONE self-join keyed on (set_id, bucket) — the
+    explode multiplies only (vec_id, set_id, bucket) key rows by L, never
+    the vectors, so the shuffle stays narrow at scale."""
+    vv = df.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
     cos = (_dot_cols(F.col("va"), F.col("vb"))
            / (F.sqrt(_dot_cols(F.col("va"), F.col("va")))
               * F.sqrt(_dot_cols(F.col("vb"), F.col("vb")))))
+    if n_plane_sets <= 1:
+        # single set: no duplicate candidates possible, so vectors ride the
+        # bucket join directly (no dedup shuffle, no re-join)
+        b = lsh_buckets(df, dim, n_planes, vec_col, id_col)
+        v = vv.withColumnRenamed("v", "v0").join(b, "vec_id")
+        a = v.select(F.col("vec_id").alias("id_a"),
+                     F.col("v0").alias("va"), "bucket")
+        c = v.select(F.col("vec_id").alias("id_b"),
+                     F.col("v0").alias("vb"), "bucket")
+        pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        keyed = (vv.select(
+            "vec_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(s).alias("set_id"),
+                         _bucket_code(F.col("v"), dim, n_planes,
+                                      s * n_planes).alias("bucket"))
+                for s in range(n_plane_sets)])).alias("sb"))
+            .select("vec_id", F.col("sb.set_id").alias("set_id"),
+                    F.col("sb.bucket").alias("bucket")))
+        a = keyed.select(F.col("vec_id").alias("id_a"), "set_id", "bucket")
+        c = keyed.select(F.col("vec_id").alias("id_b"), "set_id", "bucket")
+        cand = (a.join(c, ["set_id", "bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        pairs = (cand
+                 .join(vv.select(F.col("vec_id").alias("id_a"),
+                                 F.col("v").alias("va")), "id_a")
+                 .join(vv.select(F.col("vec_id").alias("id_b"),
+                                 F.col("v").alias("vb")), "id_b"))
     return (pairs.withColumn("cos", cos)
             .filter(F.col("cos") >= F.lit(threshold))
             .select("id_a", "id_b", F.round("cos", 6).alias("cos")))

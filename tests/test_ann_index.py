@@ -146,6 +146,28 @@ def test_cosine_neardup_recall_floor_on_planted(planted):
     assert got <= set(truth)
 
 
+def test_cosine_neardup_multiset_recall_floor(planted):
+    """Union over L=3 independent plane sets: a planted pair is missed only
+    if the noise crosses a hyperplane in EVERY set (P(miss) ~ p^3), so the
+    recall floor rises from 0.75 (single set) to 0.95; the exact-cosine
+    verify keeps precision exact, and single-set pairs are a subset of the
+    multiset result (set 0 is the single set)."""
+    from searchengine_spark.operators.similarity import cosine_neardup_pairs
+
+    df, truth = planted
+    single = {(r["id_a"], r["id_b"])
+              for r in cosine_neardup_pairs(df, dim=DIM, n_planes=8,
+                                            threshold=0.98).collect()}
+    got = {(r["id_a"], r["id_b"])
+           for r in cosine_neardup_pairs(df, dim=DIM, n_planes=8,
+                                         threshold=0.98,
+                                         n_plane_sets=3).collect()}
+    recall = sum(1 for p in truth if p in got) / len(truth)
+    assert recall >= 0.95, f"multiset recall {recall:.2f} below floor"
+    assert single <= got  # union can only add candidates
+    assert got <= set(truth)  # verify stage keeps precision exact
+
+
 def test_lsh_index_recall_floor_on_planted(planted, spark, tmp_path_factory):
     """Multi-probe (radius-1) LshAnnIndex top-k vs brute force for planted
     near-dup queries: the true near-duplicate must be found for >= 90% of
