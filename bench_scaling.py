@@ -50,13 +50,11 @@ def _warm_python_workers(spark, cpus: int) -> None:
 
 
 def _cpu_stat() -> tuple[int, int]:
-    """(busy_jiffies, steal_jiffies) from /proc/stat."""
-    with open("/proc/stat") as f:
-        parts = f.readline().split()[1:]
-    vals = [int(x) for x in parts[:8]]
-    steal = vals[7] if len(vals) > 7 else 0
-    busy = sum(vals) - vals[3] - vals[4]  # minus idle+iowait
-    return busy, steal
+    """(busy_jiffies, steal_jiffies) — shared with bench.py so the two
+    harnesses' steal telemetry can never diverge."""
+    from bench import _cpu_stat as impl
+
+    return impl()
 
 
 def run_level(cpus: int, n_docs: int) -> dict:

@@ -72,12 +72,11 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def lsh_buckets(df: DataFrame, dim: int, n_planes: int = N_HYPERPLANES,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """(vec_id, bucket) — sign-bit code over n_planes hyperplanes."""
-    bucket = F.lit(0).cast("long")
-    for j in range(n_planes):
-        bit = (_dot(F.col(vec_col), hyperplane(j, dim)) > 0).cast("long")
-        bucket = bucket + bit * F.lit(1 << j)
-    return df.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+    """(vec_id, bucket) — sign-bit code over n_planes hyperplanes
+    (plane set 0 of the _bucket_code family)."""
+    return df.select(F.col(id_col).alias("vec_id"),
+                     _bucket_code(F.col(vec_col), dim, n_planes)
+                     .alias("bucket"))
 
 
 def lsh_bucket_of(query_vec: list[float], n_planes: int = N_HYPERPLANES) -> int:
@@ -270,24 +269,35 @@ class IvfAnnIndex:
            .repartition("centroid")
            .write.mode("overwrite").partitionBy("centroid")
            .parquet(self.path))
-        if self.centroids is not None:
-            import json
-            import os
-            tmp = os.path.join(self.path, "_centroids.json.tmp")
-            with open(tmp, "w") as f:
-                json.dump({"centroids": self.centroids}, f)
-            os.replace(tmp, os.path.join(self.path, "_centroids.json"))
+        # ALWAYS persist the resolved quantizer (trained or default):
+        # the sidecar is the index's commit marker for routing — a crash
+        # between the parquet write and this point leaves no sidecar, and
+        # a reopened index then REFUSES to probe (below) instead of
+        # silently routing a k-means layout with the default centroids
+        import json
+        import os
+        resolved = (self.centroids if self.centroids is not None
+                    else _default_centroids(self.dim, self.n_centroids))
+        tmp = os.path.join(self.path, "_centroids.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"centroids": resolved}, f)
+        os.replace(tmp, os.path.join(self.path, "_centroids.json"))
+        self.centroids = resolved
         return self
 
-    def _index_centroids(self) -> list[list[float]] | None:
+    def _index_centroids(self) -> list[list[float]]:
         if self.centroids is not None:
             return self.centroids
         import json
         import os
         p = os.path.join(self.path, "_centroids.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                self.centroids = json.load(f)["centroids"]
+        if not os.path.exists(p):
+            raise ValueError(
+                f"IVF index at {self.path} has no _centroids.json sidecar: "
+                "the build did not complete (or predates the sidecar). "
+                "Rebuild, or pass centroids= explicitly.")
+        with open(p) as f:
+            self.centroids = json.load(f)["centroids"]
         return self.centroids
 
     def ann_topk(self, query_vec: list[float], k: int = 10,

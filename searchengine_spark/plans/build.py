@@ -142,8 +142,15 @@ class IndexBuilder:
                         stage=s, status="aborted", rows=0, bytes=0,
                         wall_ms=int((time.monotonic() - t0) * 1000),
                         extra={"error": msg}))
-            self.write_status("FAILED", stage=failed_at or started[-1],
-                              error=msg)
+            # started can be empty (failure before the first run_stage,
+            # e.g. the initial write_status raising) — never let the
+            # handler itself crash and mask the real error
+            last = started[-1] if started else STAGES[0]
+            try:
+                self.write_status("FAILED", stage=failed_at or last,
+                                  error=msg)
+            except Exception:
+                pass  # a status-write failure must not mask the real one
             raise
         self.write_status("INDEXED")
         report["_total_wall_ms"] = int((time.monotonic() - t0) * 1000)
@@ -296,9 +303,11 @@ class IndexBuilder:
 
     def _stage_site_stats(self):
         """A4/C5 precompute: per-site page + distinct-lemma counts, built
-        once here (ONE postings⋈docs join, amortized over every dashboard
-        call) so statistics() reads a tiny table instead of joining the
-        full postings fact table per call."""
+        once here so statistics() reads a tiny table instead of scanning
+        postings per call. Default plan is join-free: postings carry
+        site_id, so this is one column-pruned (site_id, term) aggregation
+        (see _site_stats_frame; the postings⋈docs join survives only as
+        the legacy fallback for pre-site_id tables)."""
         frame = (self._site_stats_frame(self.io.read("docs"),
                                         self.io.read("postings"))
                  .repartition(self.cfg.term_buckets + 1, "term_bucket"))

@@ -31,18 +31,31 @@ def statistics(io: TableIO) -> dict:
         pages = {r["site"]: int(r["pages"]) for r in rows}
         lemmas = {r["site"]: int(r["lemmas"]) for r in rows}
     else:
-        # legacy index without the site_stats stage: derive per call
+        # index without a (complete) site_stats table: derive per call
         docs = io.read("docs")
         postings = io.read("postings")
         pages = {r["site"]: r["pages"] for r in
                  docs.groupBy("site").agg(F.count("*").alias("pages")).collect()}
-        # postings carry no site (shuffle-width trade-off) — join the
-        # compact (doc_id, site) projection of docs to attribute terms
-        doc_sites = docs.select("doc_id", "site")
-        lemmas = {r["site"]: r["lemmas"] for r in
-                  postings.join(doc_sites, "doc_id")
-                  .groupBy("site")
-                  .agg(F.count_distinct("term").alias("lemmas")).collect()}
+        if "site_id" in postings.columns:
+            # postings built by current code carry site_id — the same
+            # join-free column-pruned aggregation the build stage uses
+            # (plans/build.py::_site_stats_frame); only the tiny
+            # post-aggregation frame joins the site-name map
+            site_names = (docs.select("site").distinct()
+                          .withColumn("site_id", F.xxhash64("site")))
+            lemmas = {r["site"]: r["lemmas"] for r in
+                      postings.select("site_id", "term")
+                      .groupBy("site_id")
+                      .agg(F.count_distinct("term").alias("lemmas"))
+                      .join(site_names, "site_id").collect()}
+        else:
+            # legacy postings without site_id — join the compact
+            # (doc_id, site) projection of docs to attribute terms
+            doc_sites = docs.select("doc_id", "site")
+            lemmas = {r["site"]: r["lemmas"] for r in
+                      postings.join(doc_sites, "doc_id")
+                      .groupBy("site")
+                      .agg(F.count_distinct("term").alias("lemmas")).collect()}
 
     try:
         status = io.read_meta("build_status")

@@ -53,6 +53,11 @@ from ..config import EngineConfig
 from ..operators.postings import np_intersect_score_blocks, np_varint_decode
 from .build import term_bucket_col
 
+# minimum doc-range count before wand_topk spends a driver job deriving
+# the rare-term range bound (below this, the unrestricted explode is
+# cheaper than the extra job; see the gate in wand_topk)
+RANGE_BOUND_MIN_RANGES = 64
+
 TOPK_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
     StructField("score", DoubleType(), False),
@@ -190,7 +195,15 @@ def wand_topk(spark, io, cfg: EngineConfig, terms: list[dict],
         .filter(F.col("term_bucket").isin(buckets))   # partition prune
         .filter(F.col("term").isin(term_order))
     )
-    range_filter = candidate_ranges(blocks, terms, cfg, range_w)
+    # the rare-term range bound costs one extra driver job (~100 ms of
+    # scheduling at sandbox scale), which only pays off when a spanning
+    # block's explode fan-out is actually large — gate on the range count
+    # so small/medium indexes keep the single-job hot path and the bound
+    # kicks in exactly in the regime it exists for (explode rows grow with
+    # n_ranges; the derivation cost is O(df_rare), independent of it)
+    n_ranges = max(1, (int(stats.get("n_docs", 0)) + range_w - 1) // range_w)
+    range_filter = (candidate_ranges(blocks, terms, cfg, range_w)
+                    if n_ranges > RANGE_BOUND_MIN_RANGES else None)
     exploded = explode_coverage(blocks, range_w, n_tasks, range_filter)
 
     theta0 = 0.0

@@ -285,3 +285,22 @@ def test_trained_ivf_index_recall_and_sidecar(spark, clustered,
 
     assert recall(trained) >= recall(untrained)
     assert recall(trained) >= int(0.9 * 10 * 3)  # near-perfect on clusters
+
+
+def test_ivf_index_refuses_probe_without_sidecar(spark, clustered,
+                                                 tmp_path_factory):
+    """The _centroids.json sidecar is the routing commit marker: a build
+    that crashed between the parquet write and the sidecar write must make
+    a reopened index REFUSE to probe (silently routing a k-means layout
+    with default centroids returns wrong neighbors with no error)."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("ann") / "ivf_crashed")
+    IvfAnnIndex = __import__("searchengine_spark.operators.similarity",
+                             fromlist=["IvfAnnIndex"]).IvfAnnIndex
+    IvfAnnIndex(spark, path, dim=DIM, n_centroids=4).build(
+        clustered, train=True, train_iter=2)
+    os.remove(os.path.join(path, "_centroids.json"))  # simulate the crash
+    reopened = IvfAnnIndex(spark, path, dim=DIM, n_centroids=4)
+    with pytest.raises(ValueError, match="sidecar"):
+        reopened.ann_topk([0.0] * DIM, k=3)

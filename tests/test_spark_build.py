@@ -90,3 +90,26 @@ def test_scan_prunes_html_column(spark, tmp_path):
     schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "url" in schema_line and "html" in schema_line
     assert "warc_ts" not in schema_line and "lang" not in schema_line
+
+
+def test_failure_before_first_stage_propagates_original(spark, tmp_path):
+    """A failure BEFORE the first run_stage (e.g. the status write hitting
+    a full disk) must propagate the original exception — the handler runs
+    with started == [] and must neither raise IndexError itself nor let
+    its own FAILED status write mask the real error."""
+    from searchengine_spark.config import EngineConfig
+    from searchengine_spark.plans.build import IndexBuilder
+    from searchengine_spark.sources.corpus import gen_pages_spark
+    from searchengine_spark.sources.tableio import TableIO
+
+    b = IndexBuilder(spark, TableIO(spark, str(tmp_path)), EngineConfig())
+    calls = {"n": 0}
+
+    def boom(status, stage=None, error=None):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # first call is outside the try block
+            raise OSError("disk full (simulated)")
+
+    b.write_status = boom
+    with pytest.raises(OSError, match="disk full"):
+        b.build(gen_pages_spark(spark, 20, partitions=2))
