@@ -52,6 +52,25 @@ def main() -> None:
         ("All-Catalyst tokenize+lemmatize — broadcast lexicon join, one "
          "doc_id exchange serving both the tf aggregation and dl window",
          plan(spark, tokens_from_docs_sql(docs))),
+        ("site_stats (fused) — join-free column-pruned (site_id, term) "
+         "aggregation over sited postings; the site STRING never rides a "
+         "shuffle (names join back post-aggregation on the tiny frame)",
+         plan(spark, __import__(
+             "searchengine_spark.plans.build",
+             fromlist=["IndexBuilder"]).IndexBuilder(
+                 spark, eng.io, eng.cfg)._site_stats_frame(
+                     eng.io.read("docs"), eng.io.read("postings")))),
+        ("Multi-plane-set LSH near-dup — one self-join keyed on "
+         "(set_id, bucket) over exploded narrow key rows, distinct "
+         "candidates, vectors joined back only for the exact-cosine "
+         "verify",
+         plan(spark, __import__(
+             "searchengine_spark.operators.similarity",
+             fromlist=["cosine_neardup_pairs"]).cosine_neardup_pairs(
+                 spark.read.parquet(os.environ.get(
+                     "SPARK_GRAFT_EMB",
+                     "/root/testdata/sf0.001/embeddings.parquet")),
+                 dim=64, n_planes=8, threshold=0.35, n_plane_sets=3))),
     ]
     out = ["# Physical plans (generated)",
            "",
