@@ -36,15 +36,19 @@ def _cpu_stat() -> tuple[int, int]:
 def make_spark(cpus: int):
     from pyspark.sql import SparkSession
 
-    return (
+    from searchengine_spark.config import recommended_spark_conf
+
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("searchengine-spark-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for k, v in recommended_spark_conf().items():
+        b = b.config(k, v)
+    return b.getOrCreate()
 
 
 HEADLINE = [

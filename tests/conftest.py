@@ -13,7 +13,9 @@ N_FIXTURE_DOCS = 300
 def spark():
     from pyspark.sql import SparkSession
 
-    spark = (
+    from searchengine_spark.config import recommended_spark_conf
+
+    builder = (
         SparkSession.builder.master("local[4]")
         .appName("searchengine-spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
@@ -21,8 +23,10 @@ def spark():
         .config("spark.driver.memory", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    for k, v in recommended_spark_conf().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     yield spark
     spark.stop()
 
