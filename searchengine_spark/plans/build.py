@@ -215,30 +215,60 @@ class IndexBuilder:
         )
 
     def _stage_terms(self):
+        from pyspark.sql import Observation
+
         postings = self.io.read("postings")
+        # corpus totals (Σcf, Σdf) ride the terms WRITE job as observed
+        # metrics — the stats stage then costs zero Spark jobs. Every job
+        # the driver schedules is width-independent wall (~100 ms + plan
+        # time each) that the north_rule's N→4N efficiency pays in full,
+        # so the build piggybacks scalars on actions it already runs.
+        obs = Observation("corpus_totals")
         terms = (
             postings.groupBy("term")
             # each (doc,term) appears once => count(*) == document frequency
             .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+            .observe(obs, F.sum("cf").alias("total_tokens"),
+                     F.sum("df").alias("n_postings"))
             .withColumn("term_bucket", term_bucket_col(F.col("term"), self.cfg.term_buckets))
             # co-locate each bucket in one task so the partitioned write
             # emits one file per bucket, not tasks×buckets small files
             .repartition(self.cfg.term_buckets, "term_bucket")
         )
-        return self.io.write_stage(terms, "terms", partition_by=["term_bucket"])
+        res = self.io.write_stage(terms, "terms", partition_by=["term_bucket"])
+        # re-commit the manifest with the observed totals (atomic replace;
+        # a crash in between leaves a valid manifest and _stage_stats
+        # falls back to its own aggregation)
+        got = obs.get
+        res.extra.update({
+            "total_tokens": int(got["total_tokens"] or 0),
+            "n_postings": int(got["n_postings"] or 0),
+        })
+        self.io.write_manifest(res)
+        return res
 
     def _stage_stats(self):
         t0 = time.monotonic()
         # row counts already recorded in the stage manifests (parquet
-        # footers) — no extra count job; corpus totals come from the tiny
-        # terms table (Σcf = total tokens, Σdf = posting count), not a
-        # re-scan of the postings fact table
+        # footers) — no extra count job; corpus totals were observed on the
+        # terms write job (zero extra jobs). Fallback for a resume from a
+        # terms manifest predating the observed totals (or a crash between
+        # the terms write and its manifest re-commit): one small agg over
+        # the tiny terms table — never a re-scan of the postings fact table.
         n_docs = self.io.read_manifest("docs")["rows"]
-        terms = self.io.read("terms")
-        agg = terms.agg(F.sum("cf").alias("total_tokens"),
-                        F.sum("df").alias("n_postings")).collect()[0]
-        total_tokens = int(agg["total_tokens"] or 0)
-        n_postings = int(agg["n_postings"] or 0)
+        tex = (self.io.read_manifest("terms") or {}).get("extra", {})
+        # totals are nulled (not removed) by incremental terms rewrites —
+        # require present AND non-None before trusting them
+        if tex.get("total_tokens") is not None \
+                and tex.get("n_postings") is not None:
+            total_tokens = int(tex["total_tokens"])
+            n_postings = int(tex["n_postings"])
+        else:
+            terms = self.io.read("terms")
+            agg = terms.agg(F.sum("cf").alias("total_tokens"),
+                            F.sum("df").alias("n_postings")).collect()[0]
+            total_tokens = int(agg["total_tokens"] or 0)
+            n_postings = int(agg["n_postings"] or 0)
         stats = {
             "n_docs": n_docs,
             "n_postings": n_postings,

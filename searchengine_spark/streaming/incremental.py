@@ -249,7 +249,12 @@ def _apply_delta(spark, io: TableIO, cfg: EngineConfig,
                             term_bucket_col(F.col("term"), cfg.term_buckets))
                 .repartition(len(buckets), "term_bucket"))
         report["terms"] = io.overwrite_partitions(
-            newt, "terms", "term_bucket", buckets).to_json()
+            newt, "terms", "term_bucket", buckets,
+            # the full build's observed corpus totals (Σcf/Σdf on the terms
+            # write job) are stale once any bucket is rewritten — null them
+            # so _stage_stats re-aggregates instead of trusting them
+            extra_update={"total_tokens": None,
+                          "n_postings": None}).to_json()
 
     # --- docs: rewrite only the touched url_buckets (atomic partition
     # commit — the old docs snapshot stays readable until the manifest
