@@ -295,6 +295,31 @@ def test_remove_page_df_decrement(inc_engine):
     assert victim["url"] not in urls and len(urls) == N - 1
 
 
+def test_incremental_invalidates_observed_corpus_totals(inc_engine):
+    """The full build records Σcf/Σdf as observed metrics on the terms
+    write (plans/build.py::_stage_terms); any incremental terms rewrite
+    must null them so stats re-aggregates — stale totals would silently
+    skew avgdl and every BM25 score after an upsert/remove."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.sources.corpus import gen_pages_local
+
+    ex0 = inc_engine.io.read_manifest("terms")["extra"]
+    assert ex0["total_tokens"] > 0 and ex0["n_postings"] > 0
+
+    inc_engine.remove_page(gen_pages_local(N)[3]["url"])
+
+    ex1 = inc_engine.io.read_manifest("terms")["extra"]
+    assert ex1["total_tokens"] is None and ex1["n_postings"] is None
+    # stats re-derived from the live terms table, not the stale totals
+    agg = (inc_engine.io.read("terms")
+           .agg(F.sum("cf").alias("tt"), F.sum("df").alias("np")).first())
+    stats = inc_engine.io.read_meta("stats")
+    assert stats["total_tokens"] == int(agg["tt"])
+    assert stats["n_postings"] == int(agg["np"])
+    assert stats["total_tokens"] < ex0["total_tokens"]
+
+
 def test_pending_delta_blocks_serving_and_dead_lock_is_taken_over(
         inc_engine, spark):
     """(1) A pending (interrupted) delta must refuse queries — per-table
