@@ -42,7 +42,12 @@ def make_spark(cpus: int):
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("searchengine-spark-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
+        # SPARK_GRAFT_AQE=false for A/B runs: the build's exchanges are
+        # explicit bucket repartitions AQE cannot improve, and each AQE
+        # query-stage boundary is an extra driver job + re-plan gap —
+        # width-independent wall the scaling pairs pay in full
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

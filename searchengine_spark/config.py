@@ -36,6 +36,16 @@ class EngineConfig:
     # slower at every parallelism level (see BENCH/BASELINE.md); kept as
     # the no-Python-runtime option. Row-identical (test-enforced).
     tokenizer: str = "python"
+    # AQE during INDEX BUILDS only (queries keep the session's setting).
+    # The build's exchanges are explicit bucket repartitions AQE cannot
+    # coalesce or re-plan, so its only effect there is extra query-stage
+    # job boundaries — each one width-independent driver wall (job
+    # scheduling + re-plan gap) that the N→4N scaling criterion pays in
+    # full. Measured (240k docs, local[32], interleaved same-window A/B,
+    # near-zero steal): AQE on 28.4/31.0 s vs off 24.6/25.7 s — off is
+    # 13–17% faster. Flip to True for builds whose LEGACY fallback join
+    # (pre-site_id postings in _site_stats_frame) meets skewed sites.
+    build_adaptive: bool = False
     # strategy="auto" routing: serve from the driver (pyarrow, no Spark
     # job) while every query term's posting list fits one process
     # (plans/serve.py scale caveat); above it, distributed block-max WAND

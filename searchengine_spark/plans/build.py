@@ -69,11 +69,26 @@ class IndexBuilder:
         INDEXING (with the in-flight stage) while running, INDEXED on
         success, FAILED + error on abort/exception — and the interrupted
         stage gets an `aborted` manifest so resume knows where to restart."""
-        from ..sources.tableio import StageResult
-
         report: dict[str, dict] = {}
         if not resume:
             self.io.invalidate_from(STAGES, STAGES[0])
+
+        # build-scoped AQE setting (cfg.build_adaptive — see config.py for
+        # the measurement); session value restored on every exit path.
+        # Conf is session-wide, so a query racing an async build sees the
+        # build's setting — plans stay correct either way, only stage
+        # boundaries differ.
+        aqe_key = "spark.sql.adaptive.enabled"
+        aqe_old = self.spark.conf.get(aqe_key, "true")
+        self.spark.conf.set(aqe_key, str(self.cfg.build_adaptive).lower())
+        try:
+            return self._build_stages(pages, resume, report)
+        finally:
+            self.spark.conf.set(aqe_key, aqe_old)
+
+    def _build_stages(self, pages: DataFrame, resume: bool,
+                      report: dict) -> dict:
+        from ..sources.tableio import StageResult
 
         t0 = time.monotonic()
         started: list[str] = []  # append-only; GIL-atomic across branches
