@@ -244,7 +244,15 @@ class IndexBuilder:
             # each (doc,term) appears once => count(*) == document frequency
             .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
             .observe(obs, F.sum("cf").alias("total_tokens"),
-                     F.sum("df").alias("n_postings"))
+                     F.sum("df").alias("n_postings"),
+                     # head terms (df above the salting threshold) ride the
+                     # same write job, sparing _stage_blocks its own collect
+                     # job; bounded — head terms are stopword-scale few.
+                     # collect_list drops the nulls when() leaves on
+                     # non-head rows.
+                     F.collect_list(
+                         F.when(F.col("df") > self.cfg.salt_df_threshold,
+                                F.col("term"))).alias("head_terms"))
             .withColumn("term_bucket", term_bucket_col(F.col("term"), self.cfg.term_buckets))
             # co-locate each bucket in one task so the partitioned write
             # emits one file per bucket, not tasks×buckets small files
@@ -258,6 +266,10 @@ class IndexBuilder:
         res.extra.update({
             "total_tokens": int(got["total_tokens"] or 0),
             "n_postings": int(got["n_postings"] or 0),
+            # sorted for manifest stability (collect_list order is
+            # partition-dependent); consumers treat it as a set
+            "head_terms": sorted(got["head_terms"] or []),
+            "head_df_threshold": self.cfg.salt_df_threshold,
         })
         self.io.write_manifest(res)
         return res
@@ -367,13 +379,21 @@ class IndexBuilder:
 
         cfg = self.cfg
         postings = self.io.read("postings")
-        terms = self.io.read("terms")
         stats = self.io.read_meta("stats")
         # head terms (df above salting threshold) are few even at web scale —
-        # a bounded driver-side collect, shipped as an isin literal
-        head = [r["term"] for r in
-                terms.filter(F.col("df") > cfg.salt_df_threshold)
-                     .select("term").collect()]
+        # a bounded driver-side list, observed on the terms write job when
+        # this build produced it. Fallback (resume from a pre-observation
+        # terms manifest, or a threshold change between build and resume):
+        # one small collect over the tiny terms table.
+        tex = (self.io.read_manifest("terms") or {}).get("extra", {})
+        if tex.get("head_terms") is not None \
+                and tex.get("head_df_threshold") == cfg.salt_df_threshold:
+            head = list(tex["head_terms"])
+        else:
+            head = [r["term"] for r in
+                    self.io.read("terms")
+                        .filter(F.col("df") > cfg.salt_df_threshold)
+                        .select("term").collect()]
         blocks = (
             build_blocks(postings, head, float(stats["avgdl"]) or 1.0, cfg)
             .withColumn("term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))

@@ -251,10 +251,13 @@ def _apply_delta(spark, io: TableIO, cfg: EngineConfig,
         report["terms"] = io.overwrite_partitions(
             newt, "terms", "term_bucket", buckets,
             # the full build's observed corpus totals (Σcf/Σdf on the terms
-            # write job) are stale once any bucket is rewritten — null them
-            # so _stage_stats re-aggregates instead of trusting them
+            # write job) and head-term list are stale once any bucket is
+            # rewritten — null them so _stage_stats/_stage_blocks
+            # re-aggregate instead of trusting them
             extra_update={"total_tokens": None,
-                          "n_postings": None}).to_json()
+                          "n_postings": None,
+                          "head_terms": None,
+                          "head_df_threshold": None}).to_json()
 
     # --- docs: rewrite only the touched url_buckets (atomic partition
     # commit — the old docs snapshot stays readable until the manifest

@@ -320,6 +320,46 @@ def test_incremental_invalidates_observed_corpus_totals(inc_engine):
     assert stats["total_tokens"] < ex0["total_tokens"]
 
 
+def test_observed_head_terms_match_direct_and_are_invalidated(
+        spark, tmp_path_factory):
+    """Head terms (df > salt_df_threshold) also ride the terms write as an
+    observed collect_list (plans/build.py::_stage_terms) and feed
+    _stage_blocks without its own collect job; they must equal the direct
+    computation and be nulled by any incremental terms rewrite — a stale
+    head list would leave a newly-hot term unsharded (skew) or keep
+    sharding a term that shrank. Threshold forced low so the fixture
+    corpus actually has head terms (empty==empty proves nothing)."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.config import EngineConfig
+    from searchengine_spark.plans.api import SearchEngine
+    from searchengine_spark.sources.corpus import gen_pages_local, gen_pages_spark
+
+    work = str(tmp_path_factory.mktemp("headterms_work"))
+    eng = SearchEngine(spark, work,
+                       cfg=EngineConfig(salt_df_threshold=20))
+    try:
+        eng.build_index(gen_pages_spark(spark, N, partitions=4))
+
+        ex0 = eng.io.read_manifest("terms")["extra"]
+        direct = sorted(
+            r["term"] for r in eng.io.read("terms")
+            .filter(F.col("df") > 20).select("term").collect())
+        assert len(direct) > 0
+        assert ex0["head_terms"] == direct
+        assert ex0["head_df_threshold"] == 20
+        assert sorted(eng.io.read_manifest("blocks")["extra"]
+                      ["head_terms"]) == direct
+
+        eng.remove_page(gen_pages_local(N)[4]["url"])
+
+        ex1 = eng.io.read_manifest("terms")["extra"]
+        assert ex1["head_terms"] is None \
+            and ex1["head_df_threshold"] is None
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_pending_delta_blocks_serving_and_dead_lock_is_taken_over(
         inc_engine, spark):
     """(1) A pending (interrupted) delta must refuse queries — per-table
