@@ -198,7 +198,11 @@ The reference engine (sergeytupitsyn/searchengine) crawls with a mandatory
 the reference's ceiling — while computing a strictly richer index
 (compressed block postings + block-max metadata vs MySQL row postings).
 """
-    with open("BENCH/BASELINE.md", "w") as f:
+    # single-run mode writes a sidecar — BENCH/BASELINE.md is the curated
+    # figure-of-record document (matched-pair protocol) and is maintained
+    # by hand; clobbering it with a single unmatched pair would replace
+    # the record with a weaker estimator
+    with open("BENCH/scaling_single_run.md", "w") as f:
         f.write(md)
     print(md)
 
