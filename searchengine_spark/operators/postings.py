@@ -26,9 +26,11 @@ salt), per-shard block streams are disjoint and ordered — global posting
 order is just (term, shard, block_id) with zero merge pass, and shard
 boundaries align with the WAND range partitioning (range = shard width).
 
-The per-block codec is pure Python over small (≤block_size) lists inside
-Arrow-batched `applyInPandas` groups; a production build would swap the
-inner loop for a C/Arrow kernel, the layout and plan stay identical.
+Both codec directions are numpy-vectorized over whole Arrow batches
+(np_varint_encode_concat / np_varint_decode) — no per-posting Python in
+either the build or the query hot path. The scalar codec
+(varint_encode/delta_encode) is kept as the property-test reference; the
+two are byte-identical by construction and test.
 """
 
 from __future__ import annotations
@@ -162,6 +164,35 @@ def np_varint_decode(buf: bytes):
     return np.add.reduceat(payload, starts)
 
 
+def np_varint_encode_concat(values):
+    """int64 ndarray -> (concatenated varint byte stream, per-value END byte
+    offsets). Byte-identical to varint_encode applied per value — minimal
+    LEB128 length, so both encoders produce the same bytes (property-tested).
+    Vectorized: byte counts via 9 threshold compares (ceil(63/7) bytes max
+    for int64), then one scatter pass per byte position (≤9, usually 1-2
+    since delta gaps and tfs are small)."""
+    import numpy as np
+
+    v = np.asarray(values)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    if int(v.min()) < 0:
+        raise ValueError("varint is unsigned")
+    u = v.astype(np.uint64)
+    nb = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 9):
+        nb += (u >= np.uint64(1) << np.uint64(7 * k))
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    buf = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for k in range(int(nb.max())):
+        m = nb > k
+        byte = ((u[m] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[m] > k + 1).astype(np.uint8)
+        buf[starts[m] + k] = byte | (cont << 7)
+    return buf.tobytes(), ends
+
+
 def np_decode_posting_block(docs_bin: bytes, tfs_bin: bytes, dls_bin: bytes):
     """(doc_ids, tfs, dls) int64 ndarrays; doc_ids via cumsum delta decode."""
     import numpy as np
@@ -290,63 +321,7 @@ def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
     )
 
     def encode_stream(batches):
-        import pyarrow as pa
-
-        names = [f.name for f in BLOCKS_SCHEMA.fields]
-        # carry the block counter across Arrow batch boundaries so block_id
-        # is globally sequential within each (term, shard) run — (term,
-        # shard, block_id) stays unique and ordered even when a run spans
-        # batches (batches arrive in partition order, so this is sound)
-        carry_term, carry_shard, carry_bi = None, None, 0
-        for rb in batches:
-            idx = {n: rb.schema.get_field_index(n) for n in
-                   ("term", "shard", "doc_id", "tf", "dl")}
-            terms = rb.column(idx["term"]).to_pylist()
-            shards = rb.column(idx["shard"]).to_pylist()
-            doc_ids = rb.column(idx["doc_id"]).to_pylist()
-            tfs = rb.column(idx["tf"]).to_pylist()
-            dls = rb.column(idx["dl"]).to_pylist()
-            out = {n: [] for n in names}
-            i, n_rows = 0, len(terms)
-            while i < n_rows:
-                term, sh = terms[i], shards[i]
-                j = i
-                while j < n_rows and terms[j] == term and shards[j] == sh:
-                    j += 1
-                bi = carry_bi if (term == carry_term and sh == carry_shard) else 0
-                for s in range(i, j, block_size):
-                    e = min(s + block_size, j)
-                    d, t, l = doc_ids[s:e], tfs[s:e], dls[s:e]
-                    docs_bin, tfs_bin, dls_bin = encode_posting_block(d, t, l)
-                    out["term"].append(term)
-                    out["shard"].append(sh)
-                    out["block_id"].append(bi)
-                    out["n"].append(e - s)
-                    out["doc_min"].append(d[0])
-                    out["doc_max"].append(d[-1])
-                    out["max_tf"].append(max(t))
-                    out["max_tfpart"].append(max(
-                        bm25_tfpart(tf_i, dl_i, avgdl, k1, b)
-                        for tf_i, dl_i in zip(t, l)))
-                    out["docs_bin"].append(docs_bin)
-                    out["tfs_bin"].append(tfs_bin)
-                    out["dls_bin"].append(dls_bin)
-                    bi += 1
-                carry_term, carry_shard, carry_bi = term, sh, bi
-                i = j
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(out["term"], pa.string()),
-                 pa.array(out["shard"], pa.int32()),
-                 pa.array(out["block_id"], pa.int32()),
-                 pa.array(out["n"], pa.int32()),
-                 pa.array(out["doc_min"], pa.int64()),
-                 pa.array(out["doc_max"], pa.int64()),
-                 pa.array(out["max_tf"], pa.int32()),
-                 pa.array(out["max_tfpart"], pa.float64()),
-                 pa.array(out["docs_bin"], pa.binary()),
-                 pa.array(out["tfs_bin"], pa.binary()),
-                 pa.array(out["dls_bin"], pa.binary())],
-                names)
+        yield from encode_block_batches(batches, block_size, avgdl, k1, b)
 
     n_parts = n_partitions or cfg.term_buckets
     return (
@@ -357,3 +332,95 @@ def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
         .sortWithinPartitions("term", "shard", "doc_id")
         .mapInArrow(encode_stream, schema=BLOCKS_SCHEMA)
     )
+
+
+def encode_block_batches(batches, block_size: int, avgdl: float,
+                         k1: float, b: float):
+    """The mapInArrow encoder body (module-level so tests can drive it with
+    hand-built RecordBatches, incl. runs split across batch boundaries)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = [f.name for f in BLOCKS_SCHEMA.fields]
+    # carry the block counter across Arrow batch boundaries so block_id
+    # is globally sequential within each (term, shard) run — (term,
+    # shard, block_id) stays unique and ordered even when a run spans
+    # batches (batches arrive in partition order, so this is sound)
+    carry_term, carry_shard, carry_bi = None, None, 0
+    for rb in batches:
+        n_rows = rb.num_rows
+        if n_rows == 0:
+            continue
+        idx = {n: rb.schema.get_field_index(n) for n in
+               ("term", "shard", "doc_id", "tf", "dl")}
+        t_col = rb.column(idx["term"])
+        sh = rb.column(idx["shard"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc = rb.column(idx["doc_id"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tf = rb.column(idx["tf"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dl = rb.column(idx["dl"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+
+        # run boundaries: (term, shard) change — string compare stays
+        # in Arrow (pc.not_equal over shifted slices), never per-row
+        run_start = np.empty(n_rows, dtype=bool)
+        run_start[0] = True
+        if n_rows > 1:
+            run_start[1:] = (pc.not_equal(t_col.slice(1),
+                                          t_col.slice(0, n_rows - 1))
+                             .to_numpy(zero_copy_only=False)
+                             | (sh[1:] != sh[:-1]))
+        run_starts_idx = np.flatnonzero(run_start)
+        run_id = np.cumsum(run_start) - 1
+        off_in_run = (np.arange(n_rows, dtype=np.int64)
+                      - run_starts_idx[run_id])
+
+        # blocks: fixed-size cuts within each run
+        bstart = (off_in_run % block_size) == 0
+        bs_idx = np.flatnonzero(bstart)
+        be_idx = np.append(bs_idx[1:], n_rows)
+        bid = off_in_run[bs_idx] // block_size
+        if (carry_term == t_col[0].as_py()
+                and carry_shard == int(sh[0])):
+            bid[run_id[bs_idx] == 0] += carry_bi
+        carry_term = t_col[n_rows - 1].as_py()
+        carry_shard = int(sh[n_rows - 1])
+        carry_bi = int(bid[-1]) + 1
+
+        # delta-gap doc ids, reset to the raw id at each block start
+        # (matches delta_encode's per-block [first, gap, ...] layout)
+        deltas = doc.copy()
+        if n_rows > 1:
+            deltas[1:] = doc[1:] - doc[:-1]
+        deltas[bs_idx] = doc[bs_idx]
+        if not (deltas[~bstart] > 0).all():
+            raise ValueError("doc_ids must be strictly ascending")
+
+        docs_buf, docs_ends = np_varint_encode_concat(deltas)
+        tfs_buf, tfs_ends = np_varint_encode_concat(tf)
+        dls_buf, dls_ends = np_varint_encode_concat(dl)
+
+        tfpart = np_bm25_tfpart(tf, dl, avgdl, k1, b)
+
+        def block_slices(buf, ends):
+            bounds = np.concatenate(([0], ends)).tolist()
+            return [buf[bounds[s]:bounds[e]]
+                    for s, e in zip(bs_idx.tolist(), be_idx.tolist())]
+
+        yield pa.RecordBatch.from_arrays(
+            [t_col.take(pa.array(bs_idx)),
+             pa.array(sh[bs_idx].astype(np.int32), pa.int32()),
+             pa.array(bid.astype(np.int32), pa.int32()),
+             pa.array((be_idx - bs_idx).astype(np.int32), pa.int32()),
+             pa.array(doc[bs_idx], pa.int64()),
+             pa.array(doc[be_idx - 1], pa.int64()),
+             pa.array(np.maximum.reduceat(tf, bs_idx).astype(np.int32),
+                      pa.int32()),
+             pa.array(np.maximum.reduceat(tfpart, bs_idx), pa.float64()),
+             pa.array(block_slices(docs_buf, docs_ends), pa.binary()),
+             pa.array(block_slices(tfs_buf, tfs_ends), pa.binary()),
+             pa.array(block_slices(dls_buf, dls_ends), pa.binary())],
+            names)

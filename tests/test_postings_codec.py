@@ -106,6 +106,121 @@ def test_np_tfpart_bit_identical_to_scalar():
         assert got[i] == bm25_tfpart(int(tfs[i]), int(dls[i]), 123.456)
 
 
+@given(st.lists(ints, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_np_varint_encode_concat_byte_identical_to_scalar(xs):
+    """The vectorized encoder must emit the same minimal LEB128 bytes as
+    the scalar one, value for value, with correct end offsets."""
+    from searchengine_spark.operators.postings import np_varint_encode_concat
+
+    buf, ends = np_varint_encode_concat(xs)
+    assert buf == b"".join(varint_encode([x]) for x in xs)
+    want_ends, acc = [], 0
+    for x in xs:
+        acc += len(varint_encode([x]))
+        want_ends.append(acc)
+    assert ends.tolist() == want_ends
+
+
+def test_np_varint_encode_rejects_negative():
+    from searchengine_spark.operators.postings import np_varint_encode_concat
+
+    with pytest.raises(ValueError):
+        np_varint_encode_concat([3, -1])
+
+
+def _scalar_reference_blocks(batches_rows, block_size, avgdl, k1, b):
+    """Independent reference of the streaming encoder: the original per-row
+    loop built from the scalar codec (runs cut at batch boundaries, block_id
+    carried across them)."""
+    out = []
+    carry_term, carry_shard, carry_bi = None, None, 0
+    for rows in batches_rows:
+        i = 0
+        while i < len(rows):
+            term, sh = rows[i][0], rows[i][1]
+            j = i
+            while j < len(rows) and rows[j][0] == term and rows[j][1] == sh:
+                j += 1
+            bi = carry_bi if (term == carry_term and sh == carry_shard) else 0
+            for s in range(i, j, block_size):
+                e = min(s + block_size, j)
+                d = [r[2] for r in rows[s:e]]
+                t = [r[3] for r in rows[s:e]]
+                l = [r[4] for r in rows[s:e]]
+                docs_bin, tfs_bin, dls_bin = encode_posting_block(d, t, l)
+                out.append((term, sh, bi, e - s, d[0], d[-1], max(t),
+                            max(bm25_tfpart(ti, li, avgdl, k1, b)
+                                for ti, li in zip(t, l)),
+                            docs_bin, tfs_bin, dls_bin))
+                bi += 1
+            carry_term, carry_shard, carry_bi = term, sh, bi
+            i = j
+    return out
+
+
+@given(
+    st.lists(  # (term, shard) runs with per-run posting counts
+        st.tuples(st.sampled_from(["t1", "t2", "t3"]),
+                  st.integers(0, 2),
+                  st.integers(1, 40)),
+        min_size=1, max_size=6, unique_by=lambda r: (r[0], r[1])),
+    st.integers(2, 9),    # block_size
+    st.integers(1, 17),   # arrow batch size (forces runs to span batches)
+)
+@settings(max_examples=80, deadline=None)
+def test_encode_block_batches_matches_scalar_reference(runs, block_size,
+                                                       batch_rows):
+    """Full-pipeline A/B: the vectorized mapInArrow encoder body must equal
+    the scalar per-row reference byte for byte — including block_id carry
+    when an Arrow batch boundary splits a (term, shard) run."""
+    import pyarrow as pa
+
+    from searchengine_spark.operators.postings import encode_block_batches
+
+    runs.sort(key=lambda r: (r[0], r[1]))
+    rows, doc = [], 0
+    for term, sh, cnt in runs:
+        for k in range(cnt):
+            doc += 1 + (k % 3)  # uneven ascending gaps
+            rows.append((term, sh, doc, 1 + (doc % 7), 10 + (doc % 90)))
+
+    def to_batch(chunk):
+        return pa.RecordBatch.from_arrays(
+            [pa.array([r[0] for r in chunk], pa.string()),
+             pa.array([r[1] for r in chunk], pa.int32()),
+             pa.array([r[2] for r in chunk], pa.int64()),
+             pa.array([r[3] for r in chunk], pa.int64()),
+             pa.array([r[4] for r in chunk], pa.int64())],
+            ["term", "shard", "doc_id", "tf", "dl"])
+
+    chunks = [rows[i:i + batch_rows] for i in range(0, len(rows), batch_rows)]
+    got = []
+    for rb in encode_block_batches((to_batch(c) for c in chunks),
+                                   block_size, 123.4, 1.2, 0.75):
+        for r in rb.to_pylist():
+            got.append((r["term"], r["shard"], r["block_id"], r["n"],
+                        r["doc_min"], r["doc_max"], r["max_tf"],
+                        r["max_tfpart"], r["docs_bin"], r["tfs_bin"],
+                        r["dls_bin"]))
+    want = _scalar_reference_blocks(chunks, block_size, 123.4, 1.2, 0.75)
+    assert got == want
+
+
+def test_encode_block_batches_rejects_unsorted_docs():
+    import pyarrow as pa
+
+    from searchengine_spark.operators.postings import encode_block_batches
+
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(["t", "t"], pa.string()), pa.array([0, 0], pa.int32()),
+         pa.array([5, 5], pa.int64()), pa.array([1, 1], pa.int64()),
+         pa.array([10, 10], pa.int64())],
+        ["term", "shard", "doc_id", "tf", "dl"])
+    with pytest.raises(ValueError):
+        list(encode_block_batches(iter([rb]), 4, 100.0, 1.2, 0.75))
+
+
 def test_compression_beats_fixed_width():
     """Dense ascending ids (the common case after our dense doc-id
     assignment) must compress far below 8 bytes/doc."""

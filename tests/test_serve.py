@@ -39,11 +39,17 @@ def test_driver_latency_no_spark_job(built_engine):
     job floor — proof no job is launched."""
     built_engine.search("леопард обитает", strategy="driver",
                         with_snippets=False)  # warm file handles / dataset
-    t0 = time.monotonic()
-    r = built_engine.search("леопард обитает", strategy="driver",
-                            with_snippets=False)
-    dt = time.monotonic() - t0
-    assert r["result"]
+    # best-of-3: the threshold separates "no Spark job" (~ms) from "launches
+    # a job" (~100ms+); min over trials is robust to this shared host's
+    # contention waves, which a single sample is not
+    dts = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        r = built_engine.search("леопард обитает", strategy="driver",
+                                with_snippets=False)
+        dts.append(time.monotonic() - t0)
+        assert r["result"]
+    dt = min(dts)
     assert dt < 0.3, f"driver path took {dt:.3f}s — is it launching jobs?"
 
 
