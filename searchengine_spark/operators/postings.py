@@ -294,21 +294,31 @@ BLOCKS_SCHEMA = StructType([
 
 
 def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
-                 cfg: EngineConfig, n_partitions: int | None = None) -> DataFrame:
+                 cfg: EngineConfig, n_partitions: int | None = None,
+                 presorted: bool = False) -> DataFrame:
     """postings(term, doc_id, tf, dl) -> compressed block rows.
 
     head_terms: terms with df > cfg.salt_df_threshold (collected driver-side
     from the `terms` stage — a handful of stopwords even at web scale; goes
     out as a broadcast-able isin literal).
 
-    Physical plan: ONE sort-shuffle on (term, shard) co-locates and orders
-    each posting run, then a streaming `mapInArrow` encoder cuts blocks at
-    run boundaries — no per-group pandas materialization (an early
-    applyInPandas version spent more time building per-term DataFrames than
-    encoding). A run that spans an Arrow batch boundary yields an extra
-    (smaller) block, but the block counter carries across batches, so
-    (term, shard, block_id) is unique and block_id follows global posting
-    order within the run. (WAND itself orders by (shard, doc_min).)
+    Physical plan, presorted=False: ONE sort-shuffle on (term, shard)
+    co-locates and orders each posting run, then a streaming `mapInArrow`
+    encoder cuts blocks at run boundaries — no per-group pandas
+    materialization (an early applyInPandas version spent more time
+    building per-term DataFrames than encoding).
+
+    presorted=True (the full-build fast path, gated on the postings
+    manifest's file_sorted flag): the input is a scan of the postings
+    table whose every FILE is already (term, doc_id)-ordered and
+    bucket-partitioned by term — and shard = doc_id // salt_shard_docs is
+    monotonic in doc_id within a term, so file order IS (term, shard,
+    doc_id) order. The encoder consumes the scan directly: ZERO exchange,
+    zero sort of posting rows. A run split across Arrow batches (or file
+    splits of oversized buckets) yields an extra smaller block; the block
+    counter carries across batches within a task, so (term, shard,
+    block_id) stays unique per task. (WAND orders by (shard, doc_min),
+    never block_id.)
     """
     block_size = cfg.block_size
     shard_docs = cfg.salt_shard_docs
@@ -323,15 +333,12 @@ def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
     def encode_stream(batches):
         yield from encode_block_batches(batches, block_size, avgdl, k1, b)
 
-    n_parts = n_partitions or cfg.term_buckets
-    return (
-        postings
-        .select("term", "doc_id", "tf", "dl")
-        .withColumn("shard", shard)
-        .repartition(n_parts, "term", "shard")
-        .sortWithinPartitions("term", "shard", "doc_id")
-        .mapInArrow(encode_stream, schema=BLOCKS_SCHEMA)
-    )
+    src = postings.select("term", "doc_id", "tf", "dl").withColumn("shard", shard)
+    if not presorted:
+        n_parts = n_partitions or cfg.term_buckets
+        src = (src.repartition(n_parts, "term", "shard")
+               .sortWithinPartitions("term", "shard", "doc_id"))
+    return src.mapInArrow(encode_stream, schema=BLOCKS_SCHEMA)
 
 
 def encode_block_batches(batches, block_size: int, avgdl: float,

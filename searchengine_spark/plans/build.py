@@ -202,10 +202,19 @@ class IndexBuilder:
         # partitionBy write exchange-free — one task owns each bucket
         docs = attach_doc_ids(extracted, offsets, n_b,
                               keep_bucket_as="url_bucket")
+        # the sort LEADS with the partition column: a partitionBy write
+        # requires its task rows ordered by the partition column and will
+        # otherwise insert its own sort — and Catalyst's EliminateSorts
+        # then deletes ours as redundant, so the file order would be the
+        # writer sort's (partition column only), not doc_id. Leading with
+        # url_bucket satisfies the writer's required ordering, no sort is
+        # added, and files stay doc_id-ascending (tight row-group stats
+        # for the serving path's point reads). Same cost: doc_id order
+        # implies url_bucket order (contiguous id ranges per bucket).
         docs = (docs
                 .select("doc_id", "url", "site", "title", "text",
                         "url_bucket")
-                .sortWithinPartitions("doc_id"))
+                .sortWithinPartitions("url_bucket", "doc_id"))
         return self.io.write_stage(
             docs, "docs", partition_by=["url_bucket"],
             extra={"doc_id_buckets": n_b, "url_bucket_partitioned": True},
@@ -220,13 +229,21 @@ class IndexBuilder:
             tokens
             .withColumn("term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))
             # co-locate each term's postings and lay them out sorted so the
-            # block encoder (and parquet min/max skipping) sees ordered runs
+            # block encoder (and parquet min/max skipping) sees ordered
+            # runs. The sort LEADS with the partition column — otherwise
+            # the partitionBy writer inserts its own term_bucket sort and
+            # EliminateSorts deletes this one, leaving files in raw
+            # generation order (caught by a per-file pyarrow test).
             .repartition(cfg.term_buckets, "term_bucket")
-            .sortWithinPartitions("term", "doc_id")
+            .sortWithinPartitions("term_bucket", "term", "doc_id")
         )
         return self.io.write_stage(
             postings, "postings", partition_by=["term_bucket"],
-            extra={"term_buckets": cfg.term_buckets},
+            # file_sorted: every file of this table is internally ordered
+            # by (term, doc_id) — the blocks stage reads it exchange-free
+            # (encoder consumes file-ordered runs directly). Writers that
+            # do not maintain the discipline must null the flag.
+            extra={"term_buckets": cfg.term_buckets, "file_sorted": True},
         )
 
     def _stage_terms(self):
@@ -394,19 +411,54 @@ class IndexBuilder:
                     self.io.read("terms")
                         .filter(F.col("df") > cfg.salt_df_threshold)
                         .select("term").collect()]
-        blocks = (
-            build_blocks(postings, head, float(stats["avgdl"]) or 1.0, cfg)
-            .withColumn("term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))
-            .repartition(cfg.term_buckets, "term_bucket")
-            .sortWithinPartitions("term", "shard", "doc_min")
-        )
-        return self.io.write_stage(
-            blocks, "blocks", partition_by=["term_bucket"],
-            # avgdl is recorded because max_tfpart bakes it in: WAND's
-            # block-max bounds are only tight while the corpus avgdl equals
-            # this value — incremental deltas mark it stale (avgdl=None)
-            # and WAND falls back to the avgdl-free max_tf bound
-            extra={"head_terms": head, "block_size": cfg.block_size,
-                   "salt_shard_docs": cfg.salt_shard_docs,
-                   "avgdl": float(stats["avgdl"]) or 1.0},
-        )
+        # exchange-free path: postings files are already (term, doc_id)-
+        # ordered (file_sorted flag, _stage_postings) and shard is
+        # monotonic in doc_id within a term, so the encoder can consume
+        # the scan directly — the build's THIRD postings-sized shuffle
+        # (repartition by (term, shard)) disappears; only the tiny
+        # encoded-blocks frame is ever sorted. Scale notes: a bucket file
+        # larger than maxPartitionBytes splits across tasks mid-run —
+        # blocks stay disjoint/valid (each split encodes its rows as
+        # fresh runs), you just get one short block per split, so raise
+        # term_buckets with corpus size. Legacy tables without the flag
+        # keep the repartition path.
+        pex = (self.io.read_manifest("postings") or {}).get("extra", {})
+        presorted = bool(pex.get("file_sorted"))
+        blocks = build_blocks(postings, head, float(stats["avgdl"]) or 1.0,
+                              cfg, presorted=presorted)
+        blocks = blocks.withColumn(
+            "term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))
+        if not presorted:
+            blocks = blocks.repartition(cfg.term_buckets, "term_bucket")
+        blocks = blocks.sortWithinPartitions(
+            "term_bucket", "term", "shard", "doc_min")
+
+        def _write():
+            return self.io.write_stage(
+                blocks, "blocks", partition_by=["term_bucket"],
+                # avgdl is recorded because max_tfpart bakes it in: WAND's
+                # block-max bounds are only tight while the corpus avgdl
+                # equals this value — incremental deltas mark it stale
+                # (avgdl=None) and WAND falls back to the avgdl-free
+                # max_tf bound
+                extra={"head_terms": head, "block_size": cfg.block_size,
+                       "salt_shard_docs": cfg.salt_shard_docs,
+                       "avgdl": float(stats["avgdl"]) or 1.0},
+            )
+
+        if not presorted:
+            return _write()
+        # presorted: encode parallelism = scan task count, and the default
+        # file packing would bin all the small bucket files into a few
+        # tasks. A large open cost makes each bucket file its own task
+        # (one encode task per bucket — the same parallelism the
+        # repartition path had), scoped to this action and restored.
+        # Oversized files (> maxPartitionBytes) still split; see the
+        # scale note above — splits are benign.
+        key = "spark.sql.files.openCostInBytes"
+        old = self.spark.conf.get(key, "4194304")
+        self.spark.conf.set(key, str(1 << 30))
+        try:
+            return _write()
+        finally:
+            self.spark.conf.set(key, old)

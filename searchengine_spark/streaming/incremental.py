@@ -235,8 +235,13 @@ def _apply_delta(spark, io: TableIO, cfg: EngineConfig,
                 # to its join path for this index)
                 add = add.drop("site_id")
             newp = newp.unionByName(add)
+        # leading term_bucket keeps the partitionBy writer from inserting
+        # its own sort (which would void this one via EliminateSorts) —
+        # rewritten bucket files stay (term, doc_id)-ordered, preserving
+        # the table's file_sorted contract for the exchange-free blocks
+        # encoder (plans/build.py::_stage_blocks)
         newp = (newp.repartition(len(buckets), "term_bucket")
-                    .sortWithinPartitions("term", "doc_id"))
+                    .sortWithinPartitions("term_bucket", "term", "doc_id"))
         report["postings"] = io.overwrite_partitions(
             newp, "postings", "term_bucket", buckets).to_json()
 

@@ -122,6 +122,61 @@ def test_block_id_sequential_across_batches(spark, small_bucket_engine):
         assert sorted(ids) == list(range(len(ids))), (key, sorted(ids)[:5])
 
 
+def test_postings_files_are_term_doc_sorted(small_bucket_engine):
+    """Every postings FILE must be internally (term, doc_id)-ordered: the
+    exchange-free blocks encoder consumes file order directly, and parquet
+    row-group min/max pruning needs it. Regression: the partitionBy writer
+    inserts its own partition-column sort when the task ordering doesn't
+    lead with it, and Catalyst's EliminateSorts then removes ours — files
+    silently land in raw generation order (caught live before the fix)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    eng, work = small_bucket_engine
+    assert eng.io.read_manifest("postings")["extra"]["file_sorted"] is True
+    files = glob.glob(f"{work}/postings/term_bucket=*/*.parquet")
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["term", "doc_id"])
+        rows = list(zip(t["term"].to_pylist(), t["doc_id"].to_pylist()))
+        assert all(a < b for a, b in zip(rows, rows[1:])), \
+            f"file {f} not (term, doc_id)-ordered"
+
+
+def test_presorted_blocks_match_repartition_path(small_bucket_engine):
+    """The exchange-free blocks path (file-ordered scan straight into the
+    encoder) must produce the exact block set — including block_id — that
+    the repartition+sort path produces."""
+    from searchengine_spark.operators.postings import build_blocks
+
+    eng, _ = small_bucket_engine
+    stats = eng.io.read_meta("stats")
+    head = eng.io.read_manifest("blocks")["extra"]["head_terms"]
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    alt = build_blocks(eng.io.read("postings"), head, stats["avgdl"],
+                       eng.cfg, presorted=False)
+    table = eng.io.read("blocks").drop("term_bucket")
+    assert snap(table) == snap(alt.select(*table.columns))
+
+
+def test_presorted_blocks_plan_has_no_exchange(small_bucket_engine):
+    """The full-build blocks stage must not shuffle posting rows: scan ->
+    encode, no Exchange operator anywhere in the plan."""
+    from searchengine_spark.operators.postings import build_blocks
+
+    eng, _ = small_bucket_engine
+    stats = eng.io.read_meta("stats")
+    head = eng.io.read_manifest("blocks")["extra"]["head_terms"]
+    plan = (build_blocks(eng.io.read("postings"), head, stats["avgdl"],
+                         eng.cfg, presorted=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+
+
 def test_overwrite_partitions_crash_safety(spark, tmp_path):
     """An interrupted partition overwrite (new-generation files present,
     manifest NOT yet swapped) must leave Spark reads on the OLD snapshot;
