@@ -60,6 +60,18 @@ def main() -> None:
              fromlist=["IndexBuilder"]).IndexBuilder(
                  spark, eng.io, eng.cfg)._site_stats_frame(
                      eng.io.read("docs"), eng.io.read("postings")))),
+        ("Blocks stage (presorted fast path) — the encoder consumes the "
+         "file-sorted, bucket-partitioned postings scan directly: scan -> "
+         "mapInArrow, ZERO Exchange; posting rows are never shuffled or "
+         "re-sorted (postings files are (term, doc_id)-ordered by the "
+         "file_sorted write contract)",
+         plan(spark, __import__(
+             "searchengine_spark.operators.postings",
+             fromlist=["build_blocks"]).build_blocks(
+                 eng.io.read("postings"),
+                 eng.io.read_manifest("blocks")["extra"]["head_terms"],
+                 eng.io.read_meta("stats")["avgdl"] or 1.0,
+                 eng.cfg, presorted=True))),
         ("Multi-plane-set LSH near-dup — one self-join keyed on "
          "(set_id, bucket) over exploded narrow key rows, distinct "
          "candidates, vectors joined back only for the exact-cosine "

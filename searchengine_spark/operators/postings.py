@@ -36,6 +36,7 @@ two are byte-identical by construction and test.
 from __future__ import annotations
 
 from collections.abc import Iterable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -339,6 +340,27 @@ def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
         src = (src.repartition(n_parts, "term", "shard")
                .sortWithinPartitions("term", "shard", "doc_id"))
     return src.mapInArrow(encode_stream, schema=BLOCKS_SCHEMA)
+
+
+@contextmanager
+def one_task_per_file(spark, enabled: bool = True):
+    """Scope spark.sql.files.openCostInBytes to 1 GiB around an action so
+    the presorted blocks encode gets one scan task per bucket file (the
+    default packing would bin the small bucket files into a few tasks,
+    collapsing encode parallelism to well below the bucket count).
+    Oversized files (> maxPartitionBytes) still split — benign, see
+    build_blocks. No-op when enabled=False so callers can gate on the
+    manifest's file_sorted flag without branching."""
+    if not enabled:
+        yield
+        return
+    key = "spark.sql.files.openCostInBytes"
+    old = spark.conf.get(key, "4194304")
+    spark.conf.set(key, str(1 << 30))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def encode_block_batches(batches, block_size: int, avgdl: float,

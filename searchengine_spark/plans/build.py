@@ -392,7 +392,7 @@ class IndexBuilder:
         """Compressed posting blocks (operators/postings.py): delta+varint,
         block-max metadata, range-sharded head terms. Runs after stats so
         avgdl is available for the idf-independent block-max factor."""
-        from ..operators.postings import build_blocks
+        from ..operators.postings import build_blocks, one_task_per_file
 
         cfg = self.cfg
         postings = self.io.read("postings")
@@ -433,7 +433,12 @@ class IndexBuilder:
         blocks = blocks.sortWithinPartitions(
             "term_bucket", "term", "shard", "doc_min")
 
-        def _write():
+        # presorted: encode parallelism = scan task count, and the default
+        # file packing would bin all the small bucket files into a few
+        # tasks — one_task_per_file scopes a large open cost around the
+        # write action so each bucket file is its own encode task (the
+        # same parallelism the repartition path had).
+        with one_task_per_file(self.spark, presorted):
             return self.io.write_stage(
                 blocks, "blocks", partition_by=["term_bucket"],
                 # avgdl is recorded because max_tfpart bakes it in: WAND's
@@ -445,20 +450,3 @@ class IndexBuilder:
                        "salt_shard_docs": cfg.salt_shard_docs,
                        "avgdl": float(stats["avgdl"]) or 1.0},
             )
-
-        if not presorted:
-            return _write()
-        # presorted: encode parallelism = scan task count, and the default
-        # file packing would bin all the small bucket files into a few
-        # tasks. A large open cost makes each bucket file its own task
-        # (one encode task per bucket — the same parallelism the
-        # repartition path had), scoped to this action and restored.
-        # Oversized files (> maxPartitionBytes) still split; see the
-        # scale note above — splits are benign.
-        key = "spark.sql.files.openCostInBytes"
-        old = self.spark.conf.get(key, "4194304")
-        self.spark.conf.set(key, str(1 << 30))
-        try:
-            return _write()
-        finally:
-            self.spark.conf.set(key, old)

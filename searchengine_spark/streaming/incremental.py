@@ -289,25 +289,38 @@ def _apply_delta(spark, io: TableIO, cfg: EngineConfig,
     if buckets:
         # --- blocks: re-encode the rewritten buckets; mark block-max
         # bounds stale (max_tfpart of untouched buckets bakes the OLD
-        # avgdl — WAND switches to the avgdl-free max_tf bound)
-        from ..operators.postings import build_blocks
+        # avgdl — WAND switches to the avgdl-free max_tf bound).
+        # The rewritten bucket files keep the (term, doc_id) file-sorted
+        # contract (the newp sort above leads with term_bucket), so the
+        # exchange-free encoder applies here exactly as in the full
+        # build's _stage_blocks — the rewritten buckets' postings are
+        # scanned straight into the encoder, never shuffled.
+        from ..operators.postings import build_blocks, one_task_per_file
 
         terms_tbl = io.read("terms")
         head = [r["term"] for r in
                 terms_tbl.filter(F.col("df") > cfg.salt_df_threshold)
                          .select("term").collect()]
         stats = io.read_meta("stats")
-        newb = (build_blocks(
-                    io.read("postings").filter(F.col("term_bucket").isin(buckets)),
-                    head, float(stats["avgdl"]) or 1.0, cfg,
-                    n_partitions=len(buckets))
-                .withColumn("term_bucket",
-                            term_bucket_col(F.col("term"), cfg.term_buckets))
-                .repartition(len(buckets), "term_bucket")
-                .sortWithinPartitions("term", "shard", "doc_min"))
-        report["blocks"] = io.overwrite_partitions(
-            newb, "blocks", "term_bucket", buckets,
-            extra_update={"head_terms": head, "avgdl": None}).to_json()
+        pex = (io.read_manifest("postings") or {}).get("extra", {})
+        presorted = bool(pex.get("file_sorted"))
+        newb = build_blocks(
+            io.read("postings").filter(F.col("term_bucket").isin(buckets)),
+            head, float(stats["avgdl"]) or 1.0, cfg,
+            n_partitions=len(buckets), presorted=presorted)
+        newb = newb.withColumn(
+            "term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))
+        if not presorted:
+            newb = newb.repartition(len(buckets), "term_bucket")
+        # leading term_bucket: same EliminateSorts discipline as every
+        # partitioned write — keeps block rows (term, shard, doc_min)-
+        # ordered inside the rewritten files
+        newb = newb.sortWithinPartitions(
+            "term_bucket", "term", "shard", "doc_min")
+        with one_task_per_file(spark, presorted):
+            report["blocks"] = io.overwrite_partitions(
+                newb, "blocks", "term_bucket", buckets,
+                extra_update={"head_terms": head, "avgdl": None}).to_json()
 
     return report
 
@@ -356,7 +369,11 @@ def _commit_docs(spark, io: TableIO, cfg: EngineConfig,
             delta_docs.select(*DOC_COLS)
             .withColumn("url_bucket", bucket_of_url)
             .filter(F.col("url_bucket").isin(doc_buckets)))
+    # leading url_bucket keeps the partitionBy writer from inserting its
+    # own sort (which would void this one via EliminateSorts) — rewritten
+    # bucket files stay doc_id-ascending for the serving path's point
+    # reads, same discipline as the full build (plans/build.py::_stage_docs)
     repl = (repl.repartition(len(doc_buckets), "url_bucket")
-                .sortWithinPartitions("doc_id"))
+                .sortWithinPartitions("url_bucket", "doc_id"))
     return io.overwrite_partitions(
         repl, "docs", "url_bucket", doc_buckets).to_json()

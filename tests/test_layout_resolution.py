@@ -177,6 +177,55 @@ def test_presorted_blocks_plan_has_no_exchange(small_bucket_engine):
     assert "Exchange" not in plan, plan
 
 
+def test_incremental_rewrite_keeps_file_sorted_contract(spark, tmp_path):
+    """An upsert rewrites touched postings/docs buckets via partition
+    overwrite; the rewritten files must keep the layout contracts the
+    exchange-free encoder and the serving point-reads rely on:
+    postings files stay (term, doc_id)-ordered (file_sorted flag intact),
+    docs files stay doc_id-ascending. Regression: the partitionBy writer
+    inserts its own partition-column sort when the task ordering doesn't
+    lead with it, and EliminateSorts then deletes ours."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from searchengine_spark.sources.corpus import gen_pages_local
+
+    work = str(tmp_path / "inc_sorted")
+    eng = SearchEngine(spark, work, EngineConfig(term_buckets=8))
+    eng.build_index(gen_pages_spark(spark, N_DOCS, partitions=4))
+
+    base = gen_pages_local(N_DOCS)
+    extra = gen_pages_local(N_DOCS + 2)[-2:]
+    changed = [dict(base[5], html=base[50]["html"], text=base[50]["text"]),
+               *extra]
+    pdf = spark.createDataFrame(
+        [(c["url"], c["warc_ts"], c["html"], c["text"], c["lang"])
+         for c in changed],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    eng.upsert_docs(pdf)
+
+    m = eng.io.read_manifest("postings")
+    assert m["extra"]["file_sorted"] is True
+    live = {f["path"] for f in m["files"]}
+    gen_files = [p for p in glob.glob(f"{work}/postings/term_bucket=*/*.parquet")
+                 if p.replace(f"{work}/", "", 1) in live
+                 and "gen-" in p.rsplit("/", 1)[1]]
+    assert gen_files, "upsert should have rewritten at least one bucket"
+    for f in gen_files:
+        t = pq.read_table(f, columns=["term", "doc_id"])
+        rows = list(zip(t["term"].to_pylist(), t["doc_id"].to_pylist()))
+        assert all(a < b for a, b in zip(rows, rows[1:])), \
+            f"rewritten postings file {f} not (term, doc_id)-ordered"
+
+    doc_gen = [p for p in glob.glob(f"{work}/docs/url_bucket=*/*.parquet")
+               if "gen-" in p.rsplit("/", 1)[1]]
+    assert doc_gen, "upsert should have rewritten at least one docs bucket"
+    for f in doc_gen:
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids), \
+            f"rewritten docs file {f} not doc_id-ascending"
+
+
 def test_overwrite_partitions_crash_safety(spark, tmp_path):
     """An interrupted partition overwrite (new-generation files present,
     manifest NOT yet swapped) must leave Spark reads on the OLD snapshot;
