@@ -42,10 +42,10 @@ def make_spark(cpus: int):
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("searchengine-spark-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
-        # SPARK_GRAFT_AQE=false for A/B runs: the build's exchanges are
-        # explicit bucket repartitions AQE cannot improve, and each AQE
-        # query-stage boundary is an extra driver job + re-plan gap —
-        # width-independent wall the scaling pairs pay in full
+        # SPARK_GRAFT_AQE controls the QUERY-side session setting here;
+        # builds ignore the session value (IndexBuilder scopes AQE to
+        # cfg.build_adaptive), so engine_config() below must wire the
+        # same env var into build_adaptive or the A/B's build arm is inert
         .config("spark.sql.adaptive.enabled",
                 os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -54,6 +54,20 @@ def make_spark(cpus: int):
     for k, v in recommended_spark_conf().items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def engine_config():
+    """EngineConfig for bench builds. SPARK_GRAFT_AQE also drives the
+    build-scoped AQE toggle — IndexBuilder force-sets
+    spark.sql.adaptive.enabled to cfg.build_adaptive around every build,
+    so setting only the session conf would leave the A/B's build arm
+    always-off (the measured 13-17% delta would be unreproducible)."""
+    from searchengine_spark.config import EngineConfig
+
+    aqe = os.environ.get("SPARK_GRAFT_AQE")
+    if aqe is None:
+        return EngineConfig()
+    return EngineConfig(build_adaptive=aqe.strip().lower() == "true")
 
 
 HEADLINE = [
@@ -111,7 +125,6 @@ def bench_index_build(spark, tmp: str,
                       n_docs: int = int(os.environ.get(
                           "SPARK_GRAFT_BENCH_DOCS", "20000"))) -> dict:
     """End-to-end: synthetic corpus -> build index -> query p95."""
-    from searchengine_spark.config import EngineConfig
     from searchengine_spark.plans.build import IndexBuilder
     from searchengine_spark.plans.query import QueryEngine
     from searchengine_spark.sources.corpus import gen_pages_spark
@@ -122,7 +135,7 @@ def bench_index_build(spark, tmp: str,
     gen_pages_spark(spark, n_docs=n_docs, seed=42).write.parquet(pages_path)
     pages = spark.read.parquet(pages_path)
     io = TableIO(spark, tmp)
-    cfg = EngineConfig()
+    cfg = engine_config()
     t0 = time.monotonic()
     IndexBuilder(spark, io, cfg).build(pages)
     build_s = time.monotonic() - t0

@@ -28,8 +28,11 @@ def main() -> None:
              .config("spark.ui.enabled", "false").getOrCreate())
     import __spark_entry__ as e
     from searchengine_spark.functions.udfs import tokens_from_docs_sql
+    from searchengine_spark.operators.postings import build_blocks
     from searchengine_spark.operators.relational_search import bm25_topk
+    from searchengine_spark.operators.similarity import cosine_neardup_pairs
     from searchengine_spark.plans.api import SearchEngine
+    from searchengine_spark.plans.build import IndexBuilder
     from searchengine_spark.sources.corpus import gen_pages_spark
 
     work = tempfile.mkdtemp()
@@ -55,34 +58,27 @@ def main() -> None:
         ("site_stats (fused) — join-free column-pruned (site_id, term) "
          "aggregation over sited postings; the site STRING never rides a "
          "shuffle (names join back post-aggregation on the tiny frame)",
-         plan(spark, __import__(
-             "searchengine_spark.plans.build",
-             fromlist=["IndexBuilder"]).IndexBuilder(
-                 spark, eng.io, eng.cfg)._site_stats_frame(
-                     eng.io.read("docs"), eng.io.read("postings")))),
+         plan(spark, IndexBuilder(spark, eng.io, eng.cfg)._site_stats_frame(
+             eng.io.read("docs"), eng.io.read("postings")))),
         ("Blocks stage (presorted fast path) — the encoder consumes the "
          "file-sorted, bucket-partitioned postings scan directly: scan -> "
          "mapInArrow, ZERO Exchange; posting rows are never shuffled or "
          "re-sorted (postings files are (term, doc_id)-ordered by the "
          "file_sorted write contract)",
-         plan(spark, __import__(
-             "searchengine_spark.operators.postings",
-             fromlist=["build_blocks"]).build_blocks(
-                 eng.io.read("postings"),
-                 eng.io.read_manifest("blocks")["extra"]["head_terms"],
-                 eng.io.read_meta("stats")["avgdl"] or 1.0,
-                 eng.cfg, presorted=True))),
+         plan(spark, build_blocks(
+             eng.io.read("postings"),
+             eng.io.read_manifest("blocks")["extra"]["head_terms"],
+             eng.io.read_meta("stats")["avgdl"] or 1.0,
+             eng.cfg, presorted=True))),
         ("Multi-plane-set LSH near-dup — one self-join keyed on "
          "(set_id, bucket) over exploded narrow key rows, distinct "
          "candidates, vectors joined back only for the exact-cosine "
          "verify",
-         plan(spark, __import__(
-             "searchengine_spark.operators.similarity",
-             fromlist=["cosine_neardup_pairs"]).cosine_neardup_pairs(
-                 spark.read.parquet(os.environ.get(
-                     "SPARK_GRAFT_EMB",
-                     "/root/testdata/sf0.001/embeddings.parquet")),
-                 dim=64, n_planes=8, threshold=0.35, n_plane_sets=3))),
+         plan(spark, cosine_neardup_pairs(
+             spark.read.parquet(os.environ.get(
+                 "SPARK_GRAFT_EMB",
+                 "/root/testdata/sf0.001/embeddings.parquet")),
+             dim=64, n_planes=8, threshold=0.35, n_plane_sets=3))),
     ]
     out = ["# Physical plans (generated)",
            "",

@@ -23,8 +23,14 @@ doc_id (`shard = doc_id // salt_shard_docs`); every other term gets shard 0.
 The build groupBy key is (term, shard), so no single task ever materializes
 a full stopword posting list. Because sharding is by doc RANGE (not hash
 salt), per-shard block streams are disjoint and ordered — global posting
-order is just (term, shard, block_id) with zero merge pass, and shard
-boundaries align with the WAND range partitioning (range = shard width).
+order needs zero merge pass, and shard boundaries align with the WAND
+range partitioning (range = shard width). block_id is sequential within
+a (term, shard) run PER ENCODE TASK only: on the presorted path a bucket
+file larger than maxPartitionBytes splits mid-run and each split restarts
+the counter, so (term, shard, block_id) is NOT a global key — no engine
+path uses it as one (WAND and serving order blocks by (shard, doc_min);
+block ranges stay disjoint either way). Consumers must never rely on
+block_id beyond per-task ordering.
 
 Both codec directions are numpy-vectorized over whole Arrow batches
 (np_varint_encode_concat / np_varint_decode) — no per-posting Python in
@@ -350,7 +356,14 @@ def one_task_per_file(spark, enabled: bool = True):
     collapsing encode parallelism to well below the bucket count).
     Oversized files (> maxPartitionBytes) still split — benign, see
     build_blocks. No-op when enabled=False so callers can gate on the
-    manifest's file_sorted flag without branching."""
+    manifest's file_sorted flag without branching.
+
+    Cross-talk caveat (same class as the build-scoped AQE toggle,
+    plans/build.py): the conf is session-wide, so a query racing the
+    blocks write in the SAME session plans its scans with the inflated
+    open cost — a many-small-files table briefly plans one task per
+    file (more tasks, correct results). Other sessions of the
+    SparkContext are unaffected."""
     if not enabled:
         yield
         return

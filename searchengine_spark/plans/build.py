@@ -78,11 +78,16 @@ class IndexBuilder:
         # Conf is session-wide, so a query racing an async build sees the
         # build's setting — plans stay correct either way, only stage
         # boundaries differ.
+        from ..config import committer_v2
+
         aqe_key = "spark.sql.adaptive.enabled"
         aqe_old = self.spark.conf.get(aqe_key, "true")
         self.spark.conf.set(aqe_key, str(self.cfg.build_adaptive).lower())
         try:
-            return self._build_stages(pages, resume, report)
+            # committer v2 scoped the same way (engine-owned write phase;
+            # measured −14% build wall — see config.committer_v2)
+            with committer_v2(self.spark):
+                return self._build_stages(pages, resume, report)
         finally:
             self.spark.conf.set(aqe_key, aqe_old)
 
@@ -202,21 +207,14 @@ class IndexBuilder:
         # partitionBy write exchange-free — one task owns each bucket
         docs = attach_doc_ids(extracted, offsets, n_b,
                               keep_bucket_as="url_bucket")
-        # the sort LEADS with the partition column: a partitionBy write
-        # requires its task rows ordered by the partition column and will
-        # otherwise insert its own sort — and Catalyst's EliminateSorts
-        # then deletes ours as redundant, so the file order would be the
-        # writer sort's (partition column only), not doc_id. Leading with
-        # url_bucket satisfies the writer's required ordering, no sort is
-        # added, and files stay doc_id-ascending (tight row-group stats
-        # for the serving path's point reads). Same cost: doc_id order
-        # implies url_bucket order (contiguous id ranges per bucket).
-        docs = (docs
-                .select("doc_id", "url", "site", "title", "text",
-                        "url_bucket")
-                .sortWithinPartitions("url_bucket", "doc_id"))
+        # sort_by keeps files doc_id-ascending (tight row-group stats for
+        # the serving path's point reads); TableIO prepends the
+        # url_bucket prefix the partitioned writer requires
+        # (_sorted_for_write — the EliminateSorts discipline lives there)
+        docs = docs.select("doc_id", "url", "site", "title", "text",
+                           "url_bucket")
         return self.io.write_stage(
-            docs, "docs", partition_by=["url_bucket"],
+            docs, "docs", partition_by=["url_bucket"], sort_by=["doc_id"],
             extra={"doc_id_buckets": n_b, "url_bucket_partitioned": True},
         )
 
@@ -228,17 +226,15 @@ class IndexBuilder:
         postings = (
             tokens
             .withColumn("term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))
-            # co-locate each term's postings and lay them out sorted so the
-            # block encoder (and parquet min/max skipping) sees ordered
-            # runs. The sort LEADS with the partition column — otherwise
-            # the partitionBy writer inserts its own term_bucket sort and
-            # EliminateSorts deletes this one, leaving files in raw
-            # generation order (caught by a per-file pyarrow test).
+            # co-locate each term's postings; sort_by lays files out as
+            # (term, doc_id)-ordered runs for the exchange-free block
+            # encoder and parquet min/max skipping (TableIO prepends the
+            # term_bucket prefix the partitioned writer requires)
             .repartition(cfg.term_buckets, "term_bucket")
-            .sortWithinPartitions("term_bucket", "term", "doc_id")
         )
         return self.io.write_stage(
             postings, "postings", partition_by=["term_bucket"],
+            sort_by=["term", "doc_id"],
             # file_sorted: every file of this table is internally ordered
             # by (term, doc_id) — the blocks stage reads it exchange-free
             # (encoder consumes file-ordered runs directly). Writers that
@@ -430,8 +426,6 @@ class IndexBuilder:
             "term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))
         if not presorted:
             blocks = blocks.repartition(cfg.term_buckets, "term_bucket")
-        blocks = blocks.sortWithinPartitions(
-            "term_bucket", "term", "shard", "doc_min")
 
         # presorted: encode parallelism = scan task count, and the default
         # file packing would bin all the small bucket files into a few
@@ -441,6 +435,7 @@ class IndexBuilder:
         with one_task_per_file(self.spark, presorted):
             return self.io.write_stage(
                 blocks, "blocks", partition_by=["term_bucket"],
+                sort_by=["term", "shard", "doc_min"],
                 # avgdl is recorded because max_tfpart bakes it in: WAND's
                 # block-max bounds are only tight while the corpus avgdl
                 # equals this value — incremental deltas mark it stale

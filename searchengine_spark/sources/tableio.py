@@ -112,13 +112,34 @@ class TableIO:
 
     # --- write/read ----------------------------------------------------
 
+    @staticmethod
+    def _sorted_for_write(df: DataFrame, partition_by: list[str] | None,
+                          sort_by: list[str] | None) -> DataFrame:
+        """Apply the partitioned-write sort DISCIPLINE in one place: the
+        task ordering must LEAD with the partition columns, or the
+        partitionBy writer inserts its own partition-column sort and
+        Catalyst's EliminateSorts deletes the caller's — files silently
+        land in raw generation order (caught live once; pinned by pyarrow
+        per-file tests). Callers pass only the DATA ordering they want
+        inside each partition (sort_by); the partition-column prefix is
+        prepended here so no write site can forget it."""
+        if not sort_by:
+            return df
+        keys = [*(partition_by or []), *sort_by]
+        return df.sortWithinPartitions(*keys)
+
     def write_stage(self, df: DataFrame, stage: str, table: str | None = None,
                     partition_by: list[str] | None = None,
-                    extra: dict | None = None) -> StageResult:
-        """Write df as the stage output + manifest with per-file lineage."""
+                    extra: dict | None = None,
+                    sort_by: list[str] | None = None) -> StageResult:
+        """Write df as the stage output + manifest with per-file lineage.
+        sort_by: desired within-file data ordering — the partition-column
+        prefix the writer requires is prepended automatically
+        (_sorted_for_write)."""
         table = table or stage
         target = self.path(table)
         t0 = time.monotonic()
+        df = self._sorted_for_write(df, partition_by, sort_by)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -374,7 +395,8 @@ class TableIO:
     def overwrite_partitions(self, df: DataFrame, stage: str,
                              partition_col: str, values: list,
                              table: str | None = None,
-                             extra_update: dict | None = None) -> StageResult:
+                             extra_update: dict | None = None,
+                             sort_by: list[str] | None = None) -> StageResult:
         """Rewrite ONLY the listed partition directories of a partitioned
         stage table and merge the stage manifest's per-file lineage — the
         parquet-dir emulation of Iceberg dynamic partition overwrite
@@ -405,6 +427,7 @@ class TableIO:
         t0 = time.monotonic()
         # the Spark write (step 2, side dir) runs outside the lock — it
         # touches no live files; the lock covers vacuum + move + swap
+        df = self._sorted_for_write(df, [partition_col], sort_by)
         df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
         self._acquire_commit_lock(blocking=True)
         try:

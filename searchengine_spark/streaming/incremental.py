@@ -174,8 +174,12 @@ def apply_staged_delta(spark, io: TableIO, cfg: EngineConfig) -> dict:
     builder = IndexBuilder(spark, io, cfg)
     builder.write_status("INDEXING", stage="delta")
     try:
-        report = _apply_delta(spark, io, cfg, builder,
-                              delta_docs=changed, old_touched=touched)
+        from ..config import committer_v2
+
+        # same engine-owned write-phase scoping as IndexBuilder.build
+        with committer_v2(spark):
+            report = _apply_delta(spark, io, cfg, builder,
+                                  delta_docs=changed, old_touched=touched)
     except BaseException as exc:
         msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
         builder.write_status("FAILED", stage="delta", error=msg)
@@ -235,15 +239,14 @@ def _apply_delta(spark, io: TableIO, cfg: EngineConfig,
                 # to its join path for this index)
                 add = add.drop("site_id")
             newp = newp.unionByName(add)
-        # leading term_bucket keeps the partitionBy writer from inserting
-        # its own sort (which would void this one via EliminateSorts) —
-        # rewritten bucket files stay (term, doc_id)-ordered, preserving
+        # sort_by keeps rewritten bucket files (term, doc_id)-ordered —
         # the table's file_sorted contract for the exchange-free blocks
-        # encoder (plans/build.py::_stage_blocks)
-        newp = (newp.repartition(len(buckets), "term_bucket")
-                    .sortWithinPartitions("term_bucket", "term", "doc_id"))
+        # encoder (TableIO prepends the partition-column prefix the
+        # writer requires; the EliminateSorts discipline lives there)
+        newp = newp.repartition(len(buckets), "term_bucket")
         report["postings"] = io.overwrite_partitions(
-            newp, "postings", "term_bucket", buckets).to_json()
+            newp, "postings", "term_bucket", buckets,
+            sort_by=["term", "doc_id"]).to_json()
 
         # --- terms: recompute df/cf for the rewritten buckets only
         newt = (io.read("postings")
@@ -312,14 +315,10 @@ def _apply_delta(spark, io: TableIO, cfg: EngineConfig,
             "term_bucket", term_bucket_col(F.col("term"), cfg.term_buckets))
         if not presorted:
             newb = newb.repartition(len(buckets), "term_bucket")
-        # leading term_bucket: same EliminateSorts discipline as every
-        # partitioned write — keeps block rows (term, shard, doc_min)-
-        # ordered inside the rewritten files
-        newb = newb.sortWithinPartitions(
-            "term_bucket", "term", "shard", "doc_min")
         with one_task_per_file(spark, presorted):
             report["blocks"] = io.overwrite_partitions(
                 newb, "blocks", "term_bucket", buckets,
+                sort_by=["term", "shard", "doc_min"],
                 extra_update={"head_terms": head, "avgdl": None}).to_json()
 
     return report
@@ -369,11 +368,10 @@ def _commit_docs(spark, io: TableIO, cfg: EngineConfig,
             delta_docs.select(*DOC_COLS)
             .withColumn("url_bucket", bucket_of_url)
             .filter(F.col("url_bucket").isin(doc_buckets)))
-    # leading url_bucket keeps the partitionBy writer from inserting its
-    # own sort (which would void this one via EliminateSorts) — rewritten
-    # bucket files stay doc_id-ascending for the serving path's point
-    # reads, same discipline as the full build (plans/build.py::_stage_docs)
-    repl = (repl.repartition(len(doc_buckets), "url_bucket")
-                .sortWithinPartitions("url_bucket", "doc_id"))
+    # sort_by keeps rewritten bucket files doc_id-ascending for the
+    # serving path's point reads, same discipline as the full build
+    # (TableIO prepends the url_bucket prefix the writer requires)
+    repl = repl.repartition(len(doc_buckets), "url_bucket")
     return io.overwrite_partitions(
-        repl, "docs", "url_bucket", doc_buckets).to_json()
+        repl, "docs", "url_bucket", doc_buckets,
+        sort_by=["doc_id"]).to_json()
