@@ -159,6 +159,19 @@ class SearchEngine:
         self._query_engine = None
         return report
 
+    def refresh_blocks(self) -> dict:
+        """Blocks-only maintenance rebuild: restore tight block-max bounds
+        (and head-term sharding) after incremental deltas marked the blocks
+        manifest's avgdl stale — one postings scan, no docs/postings
+        rewrite, crash-safe partition-overwrite commit. The Iceberg analog
+        is a metadata-refreshing table OPTIMIZE."""
+        from ..sources.tableio import resolve_layout
+
+        cfg = resolve_layout(self.io, self.cfg)
+        report = IndexBuilder(self.spark, self.io, cfg).refresh_blocks()
+        self._query_engine = None  # block bounds changed; rebuild lazily
+        return report.to_json()
+
     def resume_upsert(self) -> dict | None:
         """Replay an interrupted upsert/remove from its durable _delta/
         staging (the C3 analog of build_index(resume=True)); None when

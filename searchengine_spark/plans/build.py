@@ -384,6 +384,81 @@ class IndexBuilder:
         return self.io.write_stage(frame, "site_stats",
                                    partition_by=["term_bucket"])
 
+    def refresh_blocks(self):
+        """Blocks-only maintenance rebuild: re-encode every posting block
+        with the CURRENT corpus avgdl and head-term set. Incremental deltas
+        mark the blocks manifest's avgdl stale (streaming/incremental.py
+        sets avgdl=None) because untouched buckets' max_tfpart bakes the
+        OLD avgdl — WAND then falls back to the looser avgdl-free max_tf
+        bound. Before this op the only way to re-tighten was a full
+        rebuild; this costs O(one postings scan), touches neither docs nor
+        postings, re-shards terms whose df crossed the salting threshold
+        since the last full build, and commits via the crash-safe
+        partition-overwrite protocol (old blocks snapshot readable until
+        the manifest swap — safe against a live serving reader, unlike
+        write_stage's destructive overwrite).
+
+        Refuses while a staged delta is pending: postings could be at
+        either snapshot of an in-flight commit, and encoding them would
+        bake that ambiguity into committed blocks."""
+        from ..config import committer_v2
+        from ..operators.postings import build_blocks, one_task_per_file
+        from ..streaming.incremental import has_pending_delta
+
+        if has_pending_delta(self.io):
+            raise RuntimeError(
+                "a staged delta is pending — resume_upsert() first, then "
+                "refresh blocks")
+        for dep in ("postings", "terms", "blocks"):
+            if not self.io.stage_complete(dep):
+                raise RuntimeError(
+                    f"refresh_blocks needs a complete '{dep}' stage — "
+                    "run/resume the build first")
+
+        cfg = self.cfg
+        self.write_status("INDEXING", stage="blocks_refresh")
+        try:
+            with committer_v2(self.spark):
+                postings = self.io.read("postings")
+                stats = self.io.read_meta("stats")
+                avgdl = float(stats["avgdl"]) or 1.0
+                head = [r["term"] for r in
+                        self.io.read("terms")
+                            .filter(F.col("df") > cfg.salt_df_threshold)
+                            .select("term").collect()]
+                pex = (self.io.read_manifest("postings") or {}) \
+                    .get("extra", {})
+                presorted = bool(pex.get("file_sorted"))
+                blocks = build_blocks(postings, head, avgdl, cfg,
+                                      presorted=presorted)
+                blocks = blocks.withColumn(
+                    "term_bucket",
+                    term_bucket_col(F.col("term"), cfg.term_buckets))
+                if not presorted:
+                    blocks = blocks.repartition(cfg.term_buckets,
+                                                "term_bucket")
+                with one_task_per_file(self.spark, presorted):
+                    res = self.io.overwrite_partitions(
+                        blocks, "blocks", "term_bucket",
+                        list(range(cfg.term_buckets)),
+                        sort_by=["term", "shard", "doc_min"],
+                        extra_update={
+                            "head_terms": head,
+                            "block_size": cfg.block_size,
+                            "salt_shard_docs": cfg.salt_shard_docs,
+                            "avgdl": avgdl,
+                        })
+        except BaseException as exc:
+            msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
+            try:
+                self.write_status("FAILED", stage="blocks_refresh",
+                                  error=msg)
+            except Exception:
+                pass
+            raise
+        self.write_status("INDEXED")
+        return res
+
     def _stage_blocks(self):
         """Compressed posting blocks (operators/postings.py): delta+varint,
         block-max metadata, range-sharded head terms. Runs after stats so

@@ -428,3 +428,52 @@ def test_remove_site_cascade(inc_engine):
     assert docs.count() == len(kept)
     assert _terms_snapshot(inc_engine) == {
         t: (idx.df[t], idx.cf[t]) for t in idx.df}
+
+
+def test_refresh_blocks_retightens_stale_bounds(inc_engine, spark):
+    """After any delta the blocks manifest's avgdl is None (WAND falls back
+    to the looser avgdl-free max_tf bound); refresh_blocks() must re-encode
+    blocks with the CURRENT avgdl + head-term set WITHOUT touching docs or
+    postings, keep WAND rank-identical to exact, and refuse while a staged
+    delta is pending."""
+    from searchengine_spark.sources.corpus import gen_pages_local
+    from searchengine_spark.streaming.incremental import _delta_path
+
+    io = inc_engine.io
+    base = gen_pages_local(N)
+    changed = [dict(base[5], html=base[50]["html"], text=base[50]["text"])]
+    pdf = spark.createDataFrame(
+        [(c["url"], c["warc_ts"], c["html"], c["text"], c["lang"])
+         for c in changed],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    inc_engine.upsert_docs(pdf)
+    assert io.read_manifest("blocks")["extra"]["avgdl"] is None  # stale
+
+    q = "леопард обитает"
+    exact = inc_engine.search(q, limit=10, with_snippets=False)
+    docs_m = io.read_manifest("docs")
+    post_m = io.read_manifest("postings")
+
+    # refusal while a delta is staged (postings snapshot would be ambiguous)
+    os.makedirs(_delta_path(io), exist_ok=True)
+    with open(_delta_path(io, "pending.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(RuntimeError, match="pending"):
+        inc_engine.refresh_blocks()
+    shutil.rmtree(_delta_path(io))
+
+    rep = inc_engine.refresh_blocks()
+    assert rep["status"] == "complete" and rep["rows"] > 0
+    bm = io.read_manifest("blocks")["extra"]
+    stats = io.read_meta("stats")
+    assert bm["avgdl"] is not None
+    assert abs(bm["avgdl"] - stats["avgdl"]) < 1e-9
+    # blocks-only: docs/postings snapshots byte-identical (same manifests)
+    assert io.read_manifest("docs") == docs_m
+    assert io.read_manifest("postings") == post_m
+    assert io.read_meta("build_status")["status"] == "INDEXED"
+
+    wand = inc_engine.search(q, limit=10, strategy="wand",
+                             count_mode="none", with_snippets=False)
+    assert [ (h["uri"], round(h["score"], 6)) for h in wand["data"] ] \
+        == [ (h["uri"], round(h["score"], 6)) for h in exact["data"] ]
