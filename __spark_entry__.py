@@ -266,9 +266,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             elif kind == "ivf":
                 idx = sim.IvfAnnIndex(spark, f"{path}/t",
                                       dim=EMB_DIM).build(_emb(spark, sf))
-            else:  # ivf_trained: Lloyd's k-means quantizer (4 iterations)
+            elif kind == "ivf_trained":  # Lloyd's quantizer (4 iterations)
                 idx = sim.IvfAnnIndex(spark, f"{path}/t", dim=EMB_DIM).build(
                     _emb(spark, sf), train=True, train_iter=4)
+            else:  # ivfpq: residual product quantization, m=16 subspaces
+                idx = sim.IvfPqIndex(spark, f"{path}/t", dim=EMB_DIM,
+                                     m=16).build(_emb(spark, sf),
+                                                 train_iter=4)
             _ANN_INDEX_CACHE[key] = idx
         return _ANN_INDEX_CACHE[key]
 
@@ -295,6 +299,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = _query_vec(spark, sf)
         idx = _ann_index(spark, sf, "ivf_trained")
         return idx.ann_topk(qv, k=ANN_K, n_probe=IVF_N_PROBE, exclude_id=0)
+
+    def q_ivfpq_ann(spark, sf):
+        # IVF-PQ (operators/similarity.py::IvfPqIndex): vectors stored as
+        # m=16 tinyint residual codes + exact norm in a coarse-centroid-
+        # partitioned layout (16× smaller than raw float32); probes score
+        # with Catalyst-only ADC lookup tables and re-rank the top
+        # k·rerank_factor candidates exactly against the raw table.
+        # Trained codebooks are data-dependent (no static oracle SQL) —
+        # rows-only driver check, like ivf_ann_trained;
+        # tests/test_ann_index.py pins determinism, the sidecar commit
+        # marker, partition pruning, compression layout, and recall floors
+        # (planted 12/12; fixture floors under the measured 0.6/1.0).
+        qv = _query_vec(spark, sf)
+        idx = _ann_index(spark, sf, "ivfpq")
+        return idx.ann_topk(qv, k=ANN_K, n_probe=IVF_N_PROBE, exclude_id=0,
+                            rerank_df=_emb(spark, sf))
 
     def q_emb_neardup(spark, sf):
         # fixture has no planted near-dup vectors (max pairwise cos ≈ 0.48);
@@ -386,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_indexed": q_lsh_ann_indexed,
         "ivf_ann_indexed": q_ivf_ann_indexed,
         "ivf_ann_trained": q_ivf_ann_trained,
+        "ivfpq_ann": q_ivfpq_ann,
         "media_metadata": q_media_metadata,
         "media_resize_dims": q_media_resize_dims,
         "frame_counts": q_frame_counts,

@@ -310,6 +310,252 @@ class IvfAnnIndex:
                            exclude_id)
 
 
+# --- product quantization (IVF-PQ) -----------------------------------------
+
+PQ_M = 8    # subspaces
+PQ_KS = 16  # sub-centroids per subspace codebook
+
+
+def _np_assign(vecs, cents):
+    """numpy argmin-by-L2 against a centroid matrix: argmax over c of
+    (v·c − ||c||²/2) — ties resolve to the LOWEST index (np.argmax
+    contract), matching _assign_col's when-chain."""
+    import numpy as np
+
+    c = np.asarray(cents, dtype=np.float64)
+    scores = vecs @ c.T - 0.5 * (c * c).sum(axis=1)
+    return np.argmax(scores, axis=1)
+
+
+def train_pq_codebooks(df: DataFrame, dim: int, m: int = PQ_M,
+                       ks: int = PQ_KS, n_iter: int = 4,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       coarse: list[list[float]] | None = None,
+                       sample_mod: int | None = None) -> list[list[list[float]]]:
+    """m per-subspace codebooks (ks centroids of dim/m each): Lloyd's
+    k-means on the coarse-quantizer RESIDUALS, trained DRIVER-SIDE on a
+    bounded id-modulus sample — the standard PQ contract (what FAISS
+    does): codebook training touches O(sample) vectors collected to the
+    driver, only the distributed ENCODE pass ever reads the full table.
+    sample_mod=k keeps vec_id % k == 0; at web scale pick k so the sample
+    is ~10^5 vectors. Determinism mirrors train_ivf_centroids: fixed
+    pseudo-random init per subspace, fixed iteration count, 6-decimal
+    rounding per iteration, empty clusters re-seeded to the points
+    farthest from their assigned centroid (ties by sample order).
+
+    A distributed-training variant exists in spirit via
+    train_ivf_centroids per subspace, but nesting the residual expression
+    into ks per-centroid scores blows the Catalyst expression tree up
+    quadratically (measured: canonicalization stack overflow at
+    m=8, ks=16, dim=64) — driver-side numpy on a sample is both the
+    faster and the standard plan."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    sub = dim // m
+    cents = coarse if coarse is not None \
+        else _default_centroids(dim, N_CENTROIDS)
+    vecs = df.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_mod and sample_mod > 1:
+        vecs = vecs.filter(F.col("vec_id") % F.lit(sample_mod) == 0)
+    rows = vecs.orderBy("vec_id").collect()  # deterministic sample order
+    v = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    res = v - np.asarray(cents, dtype=np.float64)[_np_assign(v, cents)]
+
+    books = []
+    for s in range(m):
+        x = res[:, s * sub:(s + 1) * sub]
+        cb = np.asarray(_default_centroids(sub, ks), dtype=np.float64)
+        for _ in range(n_iter):
+            a = _np_assign(x, cb)
+            new = cb.copy()
+            for j in range(ks):
+                mask = a == j
+                if mask.any():
+                    new[j] = x[mask].mean(axis=0)
+            new = np.round(new, 6)
+            empty = [j for j in range(ks) if not (a == j).any()]
+            if empty:
+                # farthest-from-assigned-centroid re-seed, deterministic
+                d2 = ((x - cb[a]) ** 2).sum(axis=1)
+                far = np.argsort(-d2, kind="stable")[:len(empty)]
+                for j, i in zip(empty, far):
+                    new[j] = np.round(x[i], 6)
+            cb = new
+        books.append([[float(c) for c in row] for row in cb])
+    return books
+
+
+class IvfPqIndex:
+    """IVF-PQ: the 10^9-vector ANN layout. Vectors are stored as
+    (coarse-centroid partition, m× 1-byte PQ codes of the residual, exact
+    norm) — 64-d float32 (256 B) compresses to m+8 B (m=8: 16×), so a
+    probe's inverted lists fit in memory/page cache at scales where raw
+    vectors cannot. Queries scan only the n_probe probed partitions and
+    score with ADC (asymmetric distance computation): per-subspace lookup
+    tables dot(q_s, codebook[s][j]) are computed once driver-side and
+    enter the plan as array literals — the scan-side score is m
+    element_at's + an add chain, pure Catalyst codegen, no Python and no
+    vector arithmetic per row. Optional second stage re-ranks the top
+    R = k·rerank_factor ADC candidates exactly against the raw vector
+    table (the classic two-stage IVF-PQ serving plan; the rerank join is
+    a k·factor-row broadcast semi-join, never a shuffle of the vectors).
+
+    The `_pq_meta.json` sidecar persists the trained coarse quantizer +
+    codebooks and doubles as the build's commit marker (same discipline
+    as IvfAnnIndex): no sidecar, no probes — a half-built index refuses
+    rather than mis-routing."""
+
+    def __init__(self, spark, path: str, dim: int, m: int = PQ_M,
+                 ks: int = PQ_KS, n_centroids: int = N_CENTROIDS):
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+        if ks > 128:
+            raise ValueError("ks > 128 does not fit the tinyint code layout")
+        self.spark = spark
+        self.path = path
+        self.dim = dim
+        self.m = m
+        self.ks = ks
+        self.n_centroids = n_centroids
+        self.coarse: list[list[float]] | None = None
+        self.codebooks: list[list[list[float]]] | None = None
+
+    def build(self, df: DataFrame, vec_col: str = "embedding",
+              id_col: str = "vec_id", train_coarse: bool = True,
+              train_iter: int = 4,
+              sample_mod: int | None = None) -> "IvfPqIndex":
+        import json
+        import os
+
+        self.coarse = (train_ivf_centroids(
+            df, self.dim, self.n_centroids, n_iter=train_iter,
+            vec_col=vec_col, id_col=id_col, sample_mod=sample_mod)
+            if train_coarse
+            else _default_centroids(self.dim, self.n_centroids))
+        self.codebooks = train_pq_codebooks(
+            df, self.dim, self.m, self.ks, n_iter=train_iter,
+            vec_col=vec_col, id_col=id_col, coarse=self.coarse,
+            sample_mod=sample_mod)
+        sub = self.dim // self.m
+        m, coarse, books = self.m, self.coarse, self.codebooks
+
+        # encode pass: ONE Arrow-batched numpy kernel over the full table
+        # (coarse argmax, residual, m per-subspace argmins, norm — all
+        # matrix ops per batch, no per-row Python). A pure-Catalyst encode
+        # would inline the residual into every one of the m·ks centroid
+        # scores and the argmin when-chain grows quadratically — measured:
+        # canonicalization stack overflow at m=8, ks=16, dim=64. This is
+        # exactly the "vectorized Arrow beats expression blowup" boundary
+        # the tokenizer measurement (BENCH/BASELINE.md) pinned.
+        def encode(batches):
+            # self-contained closure (no module references): cloudpickle
+            # ships it by value, so the kernel runs on executors that never
+            # installed this package — same contract as functions/udfs.py
+            import numpy as np
+            import pyarrow as pa
+
+            def np_assign(vecs, cmat):
+                scores = vecs @ cmat.T - 0.5 * (cmat * cmat).sum(axis=1)
+                return np.argmax(scores, axis=1)
+
+            c = np.asarray(coarse, dtype=np.float64)
+            cbs = [np.asarray(b, dtype=np.float64) for b in books]
+            for batch in batches:
+                tbl = batch.to_pydict()
+                ids = tbl["vec_id"]
+                v = np.asarray(tbl["v"], dtype=np.float64)
+                a = np_assign(v, c)
+                res = v - c[a]
+                codes = np.empty((len(ids), m), dtype=np.int8)
+                for s in range(m):
+                    codes[:, s] = np_assign(
+                        res[:, s * sub:(s + 1) * sub], cbs[s])
+                norm = np.sqrt((v * v).sum(axis=1))
+                yield pa.RecordBatch.from_pydict({
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "centroid": pa.array(a.astype("int32")),
+                    "codes": pa.array(list(codes), pa.list_(pa.int8())),
+                    "norm": pa.array(norm),
+                })
+
+        (df.select(F.col(id_col).cast("long").alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+           .mapInArrow(encode, "vec_id long, centroid int, "
+                               "codes array<tinyint>, norm double")
+           .repartition("centroid")
+           .write.mode("overwrite").partitionBy("centroid")
+           .parquet(self.path))
+        tmp = os.path.join(self.path, "_pq_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"coarse": self.coarse, "codebooks": self.codebooks,
+                       "dim": self.dim, "m": self.m, "ks": self.ks}, f)
+        os.replace(tmp, os.path.join(self.path, "_pq_meta.json"))
+        return self
+
+    def _meta(self) -> tuple[list[list[float]], list[list[list[float]]]]:
+        if self.coarse is not None and self.codebooks is not None:
+            return self.coarse, self.codebooks
+        import json
+        import os
+
+        p = os.path.join(self.path, "_pq_meta.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"IVF-PQ index at {self.path} has no _pq_meta.json sidecar: "
+                "the build did not complete. Rebuild the index.")
+        with open(p) as f:
+            meta = json.load(f)
+        self.coarse, self.codebooks = meta["coarse"], meta["codebooks"]
+        return self.coarse, self.codebooks
+
+    def ann_topk(self, query_vec: list[float], k: int = 10,
+                 n_probe: int = 1, exclude_id=None,
+                 rerank_df: DataFrame | None = None,
+                 rerank_factor: int = 4, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+        """ADC top-k over the probed lists; with rerank_df (the raw vector
+        table) the top k·rerank_factor ADC candidates are re-scored with
+        exact cosine and the top k of those returned."""
+        import math
+
+        coarse, books = self._meta()
+        sub = self.dim // self.m
+        probes = ivf_centroids_of(query_vec, n_probe, self.n_centroids,
+                                  coarse)
+        qnorm = math.sqrt(sum(x * x for x in query_vec))
+        # driver-side LUTs: dot(q_s, codebook[s][j]) and dot(q, coarse_c)
+        luts = [[sum(query_vec[s * sub + i] * cw[i] for i in range(sub))
+                 for cw in books[s]] for s in range(self.m)]
+        qc = [sum(q * c for q, c in zip(query_vec, cent)) for cent in coarse]
+
+        scan = (self.spark.read.parquet(self.path)
+                .filter(F.col("centroid").isin(probes)))
+        # dot(q, v) ≈ dot(q, coarse[centroid]) + Σ_s LUT[s][codes[s]]
+        adc = F.element_at(F.array(*[F.lit(float(x)) for x in qc]),
+                           F.col("centroid").cast("int") + 1)
+        for s in range(self.m):
+            adc = adc + F.element_at(
+                F.array(*[F.lit(float(x)) for x in luts[s]]),
+                F.element_at(F.col("codes"), s + 1).cast("int") + 1)
+        cand = scan.select(
+            "vec_id", (adc / (F.col("norm") * F.lit(qnorm))).alias("cos"))
+        if exclude_id is not None:
+            cand = cand.filter(F.col("vec_id") != F.lit(exclude_id))
+        r = k * rerank_factor if rerank_df is not None else k
+        topr = (cand.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+                .limit(r))
+        if rerank_df is None:
+            return topr.select("vec_id", F.round("cos", 6).alias("cos"))
+        ids = topr.select(F.col("vec_id").alias("_pq_cand"))
+        restricted = rerank_df.join(
+            ids, F.col(id_col) == F.col("_pq_cand"), "left_semi")
+        return cosine_topk(restricted, query_vec, k, vec_col, id_col,
+                           exclude_id)
+
+
 def _bucket_code(vec_col, dim: int, n_planes: int, plane_offset: int = 0):
     """Sign-bit bucket code over planes [plane_offset, plane_offset+n_planes)
     of the deterministic hyperplane family."""

@@ -304,3 +304,132 @@ def test_ivf_index_refuses_probe_without_sidecar(spark, clustered,
     reopened = IvfAnnIndex(spark, path, dim=DIM, n_centroids=4)
     with pytest.raises(ValueError, match="sidecar"):
         reopened.ann_topk([0.0] * DIM, k=3)
+
+
+# --- IVF-PQ: product-quantized ANN index -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_index(spark, emb, tmp_path_factory):
+    from searchengine_spark.operators.similarity import IvfPqIndex
+
+    path = str(tmp_path_factory.mktemp("ann") / "pq_index")
+    # 64-d fixture: m=16 subspaces (4 dims each) — the fixture is
+    # near-random data (top cosines ~0.3), so the finer grid is what keeps
+    # ADC rank noise below the tiny true-neighbor margins
+    return IvfPqIndex(spark, path, dim=64, m=16).build(emb, train_iter=4)
+
+
+def test_ivfpq_compression_layout(pq_index, spark, emb):
+    """The stored index is codes+norm, never raw vectors: tinyint codes of
+    length m (16 B/vector vs 256 B raw float32) and a partition-pruned
+    centroid layout."""
+    import os
+
+    t = spark.read.parquet(pq_index.path)
+    codes_field = dict((f.name, f.dataType.simpleString())
+                       for f in t.schema.fields)
+    assert codes_field["codes"] == "array<tinyint>"
+    assert t.select(F.size("codes")).distinct().collect()[0][0] == 16
+    assert t.count() == emb.count()
+
+    def dir_bytes(p):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(p) for f in fs
+                   if f.endswith(".parquet"))
+
+    raw = os.path.getsize("/root/testdata/sf0.01/embeddings.parquet")
+    assert dir_bytes(pq_index.path) < raw
+
+
+def test_ivfpq_scan_is_partition_pruned(pq_index, query_vec):
+    df = pq_index.ann_topk(query_vec, k=5, n_probe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+
+
+def test_ivfpq_fixture_recall_floor(pq_index, emb, query_vec):
+    """Rerank recall vs brute force on the real fixture. The fixture is
+    near-random (weak neighbor structure), so single-digit probes lose to
+    IVF routing — measured 0.6 at n_probe=2 and 1.0 when ADC ranks the
+    whole table (n_probe=4 of 4) with rerank_factor=8; floors sit under
+    the measured values."""
+    from searchengine_spark.operators.similarity import cosine_topk
+
+    brute = {r["vec_id"] for r in
+             cosine_topk(emb, query_vec, 10, exclude_id=0).collect()}
+    got2 = {r["vec_id"] for r in
+            pq_index.ann_topk(query_vec, k=10, n_probe=2, exclude_id=0,
+                              rerank_df=emb).collect()}
+    assert len(got2 & brute) / 10 >= 0.5
+    got4 = {r["vec_id"] for r in
+            pq_index.ann_topk(query_vec, k=10, n_probe=4, exclude_id=0,
+                              rerank_df=emb, rerank_factor=8).collect()}
+    assert len(got4 & brute) / 10 >= 0.9
+    # rerank scores are EXACT cosine: equal to brute for the common ids
+    brute_cos = {r["vec_id"]: r["cos"] for r in
+                 cosine_topk(emb, query_vec, 10, exclude_id=0).collect()}
+    for r in pq_index.ann_topk(query_vec, k=10, n_probe=4, exclude_id=0,
+                               rerank_df=emb, rerank_factor=8).collect():
+        if r["vec_id"] in brute_cos:
+            assert abs(r["cos"] - brute_cos[r["vec_id"]]) < 1e-9
+
+
+def test_ivfpq_planted_recall(spark, planted, tmp_path_factory):
+    """Planted >0.99-cosine near-dups must surface in the PQ index's top-3
+    (measured 12/12; floor 0.9) — the regime PQ exists for, where true
+    neighbors stand far above the background."""
+    from searchengine_spark.operators.similarity import IvfPqIndex
+
+    df, truth = planted
+    path = str(tmp_path_factory.mktemp("ann") / "pq_planted")
+    idx = IvfPqIndex(spark, path, dim=DIM, m=4).build(df, train_iter=4)
+    hits = 0
+    for src, dup in truth:
+        sv = [float(x) for x in
+              df.filter(F.col("vec_id") == src).first()["embedding"]]
+        got = [r["vec_id"] for r in
+               idx.ann_topk(sv, k=3, n_probe=2, exclude_id=src,
+                            rerank_df=df).collect()]
+        hits += dup in got
+    assert hits / len(truth) >= 0.9
+
+
+def test_ivfpq_deterministic_and_sidecar(spark, emb, tmp_path_factory):
+    import json
+    import os
+
+    from searchengine_spark.operators.similarity import IvfPqIndex
+
+    p1 = str(tmp_path_factory.mktemp("ann") / "pq_a")
+    p2 = str(tmp_path_factory.mktemp("ann") / "pq_b")
+    i1 = IvfPqIndex(spark, p1, dim=64, m=16).build(emb, train_iter=3)
+    i2 = IvfPqIndex(spark, p2, dim=64, m=16).build(emb, train_iter=3)
+    with open(os.path.join(p1, "_pq_meta.json")) as f:
+        m1 = json.load(f)
+    with open(os.path.join(p2, "_pq_meta.json")) as f:
+        m2 = json.load(f)
+    assert m1 == m2  # same input => identical quantizer + codebooks
+    # and identical codes row-for-row
+    r1 = sorted(spark.read.parquet(p1).collect(),
+                key=lambda r: r["vec_id"])
+    r2 = sorted(spark.read.parquet(p2).collect(),
+                key=lambda r: r["vec_id"])
+    assert [(r["vec_id"], r["centroid"], list(r["codes"])) for r in r1] == \
+           [(r["vec_id"], r["centroid"], list(r["codes"])) for r in r2]
+
+
+def test_ivfpq_refuses_probe_without_sidecar(spark, emb, query_vec,
+                                             tmp_path_factory):
+    """No _pq_meta.json => the build did not complete; probing must refuse
+    (mis-routing with wrong codebooks would silently return garbage)."""
+    import os
+
+    from searchengine_spark.operators.similarity import IvfPqIndex
+
+    path = str(tmp_path_factory.mktemp("ann") / "pq_crash")
+    IvfPqIndex(spark, path, dim=64, m=16).build(emb, train_iter=2)
+    os.remove(os.path.join(path, "_pq_meta.json"))
+    fresh = IvfPqIndex(spark, path, dim=64, m=16)  # reopened, no memory
+    with pytest.raises(ValueError, match="sidecar"):
+        fresh.ann_topk(query_vec, k=5)

@@ -55,7 +55,7 @@ QUERY_NAMES = sorted(entrymod.queries().keys())
 # its weaker rows-only check for these; here we assert run-twice
 # determinism + schema instead, and dedicated tests pin their semantics
 # (tests/test_ann_index.py for the trained quantizer).
-NO_ORACLE = {"ivf_ann_trained"}
+NO_ORACLE = {"ivf_ann_trained", "ivfpq_ann"}
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
