@@ -477,3 +477,75 @@ def test_refresh_blocks_retightens_stale_bounds(inc_engine, spark):
                              count_mode="none", with_snippets=False)
     assert [ (h["uri"], round(h["score"], 6)) for h in wand["data"] ] \
         == [ (h["uri"], round(h["score"], 6)) for h in exact["data"] ]
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_random_op_sequence_equals_fresh_build(spark, tmp_path_factory, seed):
+    """Convergence property for the incremental MERGE protocol: ANY
+    interleaved sequence of upserts (modify + add) and removals must leave
+    the index equal to a from-scratch build over the FINAL page set —
+    same terms table (df/cf) and rank-identical search results (compared
+    by url+score: doc_ids are stable under increments but reassigned by a
+    fresh build). Deterministic pseudo-random sequences, two seeds."""
+    import random
+
+    from searchengine_spark import oracle as O
+    from searchengine_spark.plans.api import SearchEngine
+    from searchengine_spark.sources.corpus import gen_pages_local
+
+    rng = random.Random(seed)
+    base = gen_pages_local(N)
+    extra_pool = gen_pages_local(N + 20)[N:]  # deterministic fresh urls
+
+    work = str(tmp_path_factory.mktemp(f"seq{seed}"))
+    eng = SearchEngine(spark, work)
+    live = {p["url"]: p for p in base}
+
+    def to_df(pages):
+        return spark.createDataFrame(
+            [(c["url"], c["warc_ts"], c["html"], c["text"], c["lang"])
+             for c in pages],
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+
+    eng.build_index(to_df(list(live.values())))
+
+    for _ in range(4):
+        op = rng.choice(["upsert", "remove_page", "upsert", "remove_site"])
+        if op == "upsert":
+            batch = []
+            for _ in range(rng.randint(1, 3)):  # modify existing
+                victim = rng.choice(sorted(live))
+                donor = rng.choice(base)
+                batch.append(dict(live[victim], html=donor["html"],
+                                  text=donor["text"]))
+            if extra_pool and rng.random() < 0.7:  # add fresh
+                batch.append(extra_pool.pop(0))
+            eng.upsert_docs(to_df(batch))
+            for c in batch:
+                live[c["url"]] = c
+        elif op == "remove_page":
+            victim = rng.choice(sorted(live))
+            eng.remove_page(victim)
+            del live[victim]
+        else:  # remove_site — only if >1 site remains afterwards
+            sites = sorted({O.site_of(u) for u in live})
+            if len(sites) < 2:
+                continue
+            site = rng.choice(sites)
+            eng.remove_site(site)
+            live = {u: p for u, p in live.items() if O.site_of(u) != site}
+
+    idx = _oracle_for(list(live.values()))
+    assert _terms_snapshot(eng) == {t: (idx.df[t], idx.cf[t])
+                                    for t in idx.df}
+    assert eng.io.read("docs").count() == len(live)
+    for q in ("леопард обитает", "осетии"):
+        want = O.search(idx, q, limit=10)
+        got = eng.search(q, limit=10)
+        assert got["result"] == want["result"]
+        if want["result"]:
+            assert sorted((h["uri"], round(h["score"], 6))
+                          for h in got["data"]) == \
+                sorted((h["uri"], round(h["score"], 6))
+                       for h in want["data"])
