@@ -70,6 +70,21 @@ def main() -> None:
              eng.io.read_manifest("blocks")["extra"]["head_terms"],
              eng.io.read_meta("stats")["avgdl"] or 1.0,
              eng.cfg, presorted=True))),
+        ("IVF-PQ ADC probe — partition-pruned scan of the probed "
+         "centroid lists (PartitionFilters on centroid), score = "
+         "Catalyst-only lookup-table adds over the tinyint codes "
+         "(element_at chains on literal arrays, no Python, no vector "
+         "arithmetic per row), TakeOrderedAndProject for the candidate "
+         "top-R",
+         plan(spark, __import__("searchengine_spark.operators.similarity",
+                                fromlist=["IvfPqIndex"])
+              .IvfPqIndex(spark, os.path.join(work, "pqidx"), dim=64, m=16)
+              .build(spark.read.parquet(os.environ.get(
+                  "SPARK_GRAFT_EMB",
+                  "/root/testdata/sf0.001/embeddings.parquet")),
+                  train_iter=2)
+              .ann_topk(e._query_vec(spark, "/root/testdata/sf0.001"),
+                        k=5, n_probe=2))),
         ("Multi-plane-set LSH near-dup — one self-join keyed on "
          "(set_id, bucket) over exploded narrow key rows, distinct "
          "candidates, vectors joined back only for the exact-cosine "
