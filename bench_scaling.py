@@ -245,6 +245,53 @@ def _control_work(args):
     return n
 
 
+def run_control_copy(levels=(1, 4), n_trials: int = 9) -> dict:
+    """Copy-dense host control: the compute-dense control above measures
+    the host's ceiling for CPU-bound per-doc work (~0.95 at 1→4); THIS one
+    measures its ceiling for memory-bandwidth-bound work — big sequential
+    copies, the dominant cost class of the blocks stage's Arrow round-trip
+    and of shuffle write/read. Each worker copies a 64 MiB int64 array
+    `reps` times (out-of-cache, touch-verified). Interleaved trials,
+    median-of-trials reported, same discipline as run_matched. On this VM
+    the median reads ~0.43 (range 0.28–0.65): the shared bus cannot
+    deliver 4× copy bandwidth to 4 workers, which bounds what ANY
+    serialization-heavy stage can scale to here."""
+    import multiprocessing as mp
+    import statistics
+
+    effs, rows = [], []
+    for t in range(n_trials):
+        rates = {}
+        for w in levels:
+            reps = 16
+            t0 = time.monotonic()
+            with mp.Pool(w) as pool:
+                pool.map(_copy_work, [reps] * w)
+            rates[w] = w * reps / (time.monotonic() - t0)
+        e = rates[levels[1]] / rates[levels[0]] / (levels[1] // levels[0])
+        effs.append(e)
+        rows.append({str(w): round(rates[w], 1) for w in levels}
+                    | {"efficiency": round(e, 3)})
+        print(f"copy-control trial {t}: "
+              + " ".join(f"{w}w={rates[w]:.1f}/s" for w in levels)
+              + f" eff={e:.3f}", file=sys.stderr)
+    return {"levels": list(levels), "trials": rows,
+            "efficiency_median": round(statistics.median(effs), 3),
+            "efficiency_min": round(min(effs), 3),
+            "efficiency_max": round(max(effs), 3)}
+
+
+def _copy_work(reps):
+    import numpy as np
+
+    a = np.arange(8_000_000, dtype=np.int64)  # 64 MiB, out of L3
+    s = 0
+    for _ in range(reps):
+        b = a.copy()
+        s += int(b[::4096].sum())
+    return s
+
+
 def run_matched(n_pairs: int) -> dict:
     """Interleaved matched-trial protocol (round-4 figure of record): trials
     alternate levels back-to-back (lo, hi, lo, hi, ...) so each PAIR shares
@@ -308,6 +355,9 @@ def run_matched(n_pairs: int) -> dict:
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--control":
         print(json.dumps(run_control()))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--control-copy":
+        print(json.dumps(run_control_copy()))
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--matched":
         run_matched(int(sys.argv[2]) if len(sys.argv) > 2 else 5)

@@ -350,30 +350,47 @@ def build_blocks(postings: DataFrame, head_terms: list[str], avgdl: float,
 
 @contextmanager
 def one_task_per_file(spark, enabled: bool = True):
-    """Scope spark.sql.files.openCostInBytes to 1 GiB around an action so
-    the presorted blocks encode gets one scan task per bucket file (the
-    default packing would bin the small bucket files into a few tasks,
-    collapsing encode parallelism to well below the bucket count).
-    Oversized files (> maxPartitionBytes) still split — benign, see
-    build_blocks. No-op when enabled=False so callers can gate on the
+    """Scope two encode-scan tunings around a blocks action:
+
+    - spark.sql.files.openCostInBytes → 1 GiB (only when enabled, i.e.
+      the presorted exchange-free path) so the encode gets one scan task
+      per bucket file — the default packing would bin the small bucket
+      files into a few tasks, collapsing encode parallelism to well
+      below the bucket count. Oversized files (> maxPartitionBytes)
+      still split — benign, see build_blocks.
+    - spark.sql.execution.arrow.maxRecordsPerBatch → 65536 (both paths):
+      the encoder is a streaming mapInArrow whose per-batch overheads
+      (Python round-trip, run-boundary carry, RecordBatch assembly of 11
+      output arrays) and batch-split partial blocks both shrink with
+      fewer, larger batches; 64Ki rows of (term, i64, 2×i32) is a few MB
+      per batch — far under worker memory at any scale.
+
+    No-op on the open cost when enabled=False so callers can gate on the
     manifest's file_sorted flag without branching.
 
     Cross-talk caveat (same class as the build-scoped AQE toggle,
-    plans/build.py): the conf is session-wide, so a query racing the
-    blocks write in the SAME session plans its scans with the inflated
-    open cost — a many-small-files table briefly plans one task per
-    file (more tasks, correct results). Other sessions of the
-    SparkContext are unaffected."""
-    if not enabled:
-        yield
-        return
-    key = "spark.sql.files.openCostInBytes"
-    old = spark.conf.get(key, "4194304")
-    spark.conf.set(key, str(1 << 30))
+    plans/build.py): the confs are session-wide, so a query racing the
+    blocks write in the SAME session plans with them — inflated open
+    cost means a many-small-files table briefly plans one task per file
+    (more tasks, correct results); the batch size only changes Arrow
+    transfer granularity. Other sessions of the SparkContext are
+    unaffected."""
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old_batch = spark.conf.get(batch_key, "10000")
+    spark.conf.set(batch_key, "65536")
     try:
-        yield
+        if not enabled:
+            yield
+            return
+        key = "spark.sql.files.openCostInBytes"
+        old = spark.conf.get(key, "4194304")
+        spark.conf.set(key, str(1 << 30))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
     finally:
-        spark.conf.set(key, old)
+        spark.conf.set(batch_key, old_batch)
 
 
 def encode_block_batches(batches, block_size: int, avgdl: float,
@@ -397,14 +414,17 @@ def encode_block_batches(batches, block_size: int, avgdl: float,
         idx = {n: rb.schema.get_field_index(n) for n in
                ("term", "shard", "doc_id", "tf", "dl")}
         t_col = rb.column(idx["term"])
-        sh = rb.column(idx["shard"]).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        doc = rb.column(idx["doc_id"]).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        tf = rb.column(idx["tf"]).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        dl = rb.column(idx["dl"]).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        # asarray, not astype: doc_id arrives int64 already (tf/dl are
+        # int32 and genuinely widen) — astype(copy=True default) would
+        # re-copy ~128 MB per 16M-posting build for nothing
+        sh = np.asarray(rb.column(idx["shard"])
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        doc = np.asarray(rb.column(idx["doc_id"])
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
+        tf = np.asarray(rb.column(idx["tf"])
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        dl = np.asarray(rb.column(idx["dl"])
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
 
         # run boundaries: (term, shard) change — string compare stays
         # in Arrow (pc.not_equal over shifted slices), never per-row
