@@ -33,6 +33,11 @@ MAX_SHINGLE_DF = 400          # quadratic-pair guard: drop shingles in >400 docs
 MINHASH_K = 12
 MINHASH_BANDS = 4             # b=4 bands of r=3 rows: P(cand)=1-(1-s^3)^4
 SIMHASH_MAX_HAMMING = 3       # 4×16-bit bands give exact recall at radius 3
+BENCH_MOD = 37                # decontamination: doc_id % 37 == 0 is the
+                              # deterministic "benchmark" slice (no external
+                              # data — the eval set is synthesized from the
+                              # same table)
+DECONTAM_MIN_OVERLAP = 3      # flag docs sharing ≥3 distinct 3-gram shingles
 KNN_K = 10
 ANN_K = 5
 EMB_DIM = 64
@@ -168,6 +173,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sh = dedup.shingles(_docs(spark, sf), n=JACCARD_N)
         return dedup.jaccard_pairs(sh, threshold=JACCARD_THRESHOLD,
                                    max_shingle_df=MAX_SHINGLE_DF)
+
+    def q_decontam_pairs(spark, sf):
+        docs = _docs(spark, sf)
+        bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+        return dedup.contamination_pairs(
+            train, bench, n=JACCARD_N, min_overlap=DECONTAM_MIN_OVERLAP)
+
+    def q_decontam_keep(spark, sf):
+        docs = _docs(spark, sf)
+        bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+        return dedup.decontaminate_keep(
+            train, bench, n=JACCARD_N, min_overlap=DECONTAM_MIN_OVERLAP)
 
     def q_dedup_minhash_pairs(spark, sf):
         return dedup.minhash_neardup_pairs(
@@ -390,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_summary": q_dedup_exact_summary,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "decontam_pairs": q_decontam_pairs,
+        "decontam_keep": q_decontam_keep,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_minhash_components": q_dedup_minhash_components,
         "dedup_minhash_keep": q_dedup_minhash_keep,
@@ -729,6 +750,29 @@ SELECT doc_a, doc_b,
        round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
 FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}""",
+        "decontam_pairs": f"""
+WITH {_TRI},
+dsh AS (SELECT doc_id, sh FROM tri WHERE doc_id % {BENCH_MOD} <> 0),
+bsh AS (SELECT doc_id AS bench_id, sh FROM tri WHERE doc_id % {BENCH_MOD} = 0),
+pairs AS (
+  SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM dsh d JOIN bsh b ON d.sh = b.sh GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, n_common FROM pairs
+WHERE n_common >= {DECONTAM_MIN_OVERLAP}""",
+        "decontam_keep": f"""
+WITH {_TRI},
+dsh AS (SELECT doc_id, sh FROM tri WHERE doc_id % {BENCH_MOD} <> 0),
+bsh AS (SELECT doc_id AS bench_id, sh FROM tri WHERE doc_id % {BENCH_MOD} = 0),
+pairs AS (
+  SELECT d.doc_id, count(*) AS n_common
+  FROM dsh d JOIN bsh b ON d.sh = b.sh GROUP BY d.doc_id, b.bench_id
+),
+flagged AS (SELECT DISTINCT doc_id FROM pairs
+            WHERE n_common >= {DECONTAM_MIN_OVERLAP})
+SELECT doc_id FROM documents
+WHERE doc_id % {BENCH_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM flagged)""",
         "dedup_minhash_pairs": _minhash_neardup_sql(),
         "dedup_minhash_components": _components_sql(_minhash_neardup_sql(),
                                                     keep_only=False),

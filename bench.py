@@ -84,6 +84,7 @@ HEADLINE = [
     "dedup_minhash_keep",
     "dedup_simhash",
     "dedup_simhash64_pairs",
+    "decontam_keep",
     "knn_cosine",
     "lsh_ann",
     "lsh_ann_multiprobe",

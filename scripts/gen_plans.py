@@ -85,6 +85,19 @@ def main() -> None:
                   train_iter=2)
               .ann_topk(e._query_vec(spark, "/root/testdata/sf0.001"),
                         k=5, n_probe=2))),
+        ("Benchmark decontamination — bench shingles broadcast "
+         "(BroadcastHashJoin BuildRight), corpus side streams scan → "
+         "task-local array_distinct shingle Generate → join with NO "
+         "corpus-sized exchange; only matching (doc, bench) rows reach "
+         "the counting aggregation",
+         plan(spark, __import__("searchengine_spark.operators.dedup",
+                                fromlist=["contamination_pairs"])
+              .contamination_pairs(
+                  spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                  .filter("doc_id % 37 <> 0"),
+                  spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                  .filter("doc_id % 37 = 0"),
+                  n=3, min_overlap=3))),
         ("Multi-plane-set LSH near-dup — one self-join keyed on "
          "(set_id, bucket) over exploded narrow key rows, distinct "
          "candidates, vectors joined back only for the exact-cosine "

@@ -43,7 +43,14 @@ def exact_keep_first(df: DataFrame, text_col: str = "text",
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, sh) — distinct word n-gram shingles per document."""
+    """(doc_id, sh) — distinct word n-gram shingles per document.
+
+    Distinctness is enforced with array_distinct BEFORE the explode: all
+    of a document's shingles come from its single input row, so per-doc
+    dedup is task-local by construction — a trailing .distinct() would
+    shuffle the full (doc_id, sh) frame corpus-wide for the same result.
+    Every shingle consumer (Jaccard, MinHash, decontamination) saves that
+    exchange."""
     df = spread_input(df)
     toks = F.split(F.col(text_col), " ")
     idxs = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
@@ -52,9 +59,9 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
         idxs,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
-    return (df.select(F.col(id_col).alias("doc_id"), F.explode(tri).alias("sh"))
-              .filter(F.col("sh") != "")
-              .distinct())
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array_distinct(tri)).alias("sh"))
+              .filter(F.col("sh") != ""))
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
@@ -276,3 +283,54 @@ def minhash_keep_first(df: DataFrame, k: int = 12, bands: int = 4,
     pairs = minhash_neardup_pairs(df, k, bands, n, threshold,
                                   text_col, id_col)
     return neardup_keep_first(df, pairs, id_col)
+
+
+def contamination_pairs(docs: DataFrame, bench: DataFrame, n: int = 3,
+                        min_overlap: int = 2, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        bench_id_col: str = "doc_id",
+                        hashed_keys: bool = True) -> DataFrame:
+    """(doc_id, bench_id, n_common) — training docs sharing at least
+    min_overlap DISTINCT word n-gram shingles with a benchmark document.
+    The standard pre-training decontamination screen (strip eval-set
+    leakage from the corpus before training; cf. the n-gram-overlap
+    procedures published for GPT-3 appendix C / Llama 2 §A.6 — public
+    methods, re-expressed as DataFrame ops).
+
+    Scale shape: benchmark sets are tiny (10^3–10^6 rows) next to a
+    10^12-doc corpus, so the bench shingle frame is broadcast — the
+    corpus side streams map-side through the join with NO corpus-sized
+    shuffle; only matching (doc, bench) rows (a near-empty frame when the
+    corpus is clean) reach the counting aggregation. hashed_keys joins on
+    xxhash64(shingle) — 8-byte keys, same collision calculus as
+    jaccard_pairs.
+    """
+    from pyspark.sql.functions import broadcast
+
+    dsh = shingles(docs, n, text_col, id_col)
+    # bench_id_col names the id column IN the bench frame; the output
+    # column is always bench_id
+    bsh = shingles(bench, n, text_col, bench_id_col) \
+        .withColumnRenamed("doc_id", "bench_id")
+    if hashed_keys:
+        dsh = dsh.select("doc_id", F.xxhash64("sh").alias("sh"))
+        bsh = bsh.select("bench_id", F.xxhash64("sh").alias("sh"))
+    return (dsh.join(broadcast(bsh), "sh")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count("*").cast("long").alias("n_common"))
+            .filter(F.col("n_common") >= min_overlap))
+
+
+def decontaminate_keep(docs: DataFrame, bench: DataFrame, n: int = 3,
+                       min_overlap: int = 2, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Retained doc ids after benchmark decontamination: drop every doc
+    with ≥ min_overlap shared n-gram shingles against ANY benchmark doc.
+    One broadcast join + one anti-join on the 8-byte doc_id — the corpus
+    text is never shuffled."""
+    flagged = (contamination_pairs(docs, bench, n, min_overlap,
+                                   text_col, id_col)
+               .select("doc_id").distinct())
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(flagged, "doc_id", "left_anti")
+            .select("doc_id"))

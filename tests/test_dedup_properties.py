@@ -188,3 +188,35 @@ def test_simhash64_halves_are_32bit(spark):
     for r in rows:
         assert 0 <= r["simhash_hi"] < (1 << 32)
         assert 0 <= r["simhash_lo"] < (1 << 32)
+
+
+def test_decontamination_planted(spark):
+    """Planted leakage: a training doc embedding a benchmark passage
+    (>= min_overlap shared 3-gram shingles) is flagged with the right
+    overlap count and dropped by decontaminate_keep; a doc sharing fewer
+    n-grams and a clean doc are both kept; short/empty docs survive."""
+    from searchengine_spark.operators.dedup import (contamination_pairs,
+                                                    decontaminate_keep)
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "intro text then the quick brown fox jumps over something"),
+         # shares shingles 'the quick brown','quick brown fox',
+         # 'brown fox jumps','fox jumps over' with bench 100 => 4 >= 3
+         (2, "pack my box again"),           # 1 shared shingle => kept
+         (3, "completely unrelated content here"),
+         (4, "tiny")],                        # < n tokens: no shingles
+        "doc_id long, text string")
+
+    pairs = {(r["doc_id"], r["bench_id"]): r["n_common"]
+             for r in contamination_pairs(docs, bench, n=3,
+                                          min_overlap=3).collect()}
+    assert pairs == {(1, 100): 4}
+
+    kept = {r["doc_id"]
+            for r in decontaminate_keep(docs, bench, n=3,
+                                        min_overlap=3).collect()}
+    assert kept == {2, 3, 4}
