@@ -38,6 +38,8 @@ BENCH_MOD = 37                # decontamination: doc_id % 37 == 0 is the
                               # data — the eval set is synthesized from the
                               # same table)
 DECONTAM_MIN_OVERLAP = 3      # flag docs sharing ≥3 distinct 3-gram shingles
+SPAN_TOKENS = 12              # C4-style span dedup window (token spans —
+                              # the synthetic corpus has no sentence marks)
 KNN_K = 10
 ANN_K = 5
 EMB_DIM = 64
@@ -187,6 +189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
         return dedup.decontaminate_keep(
             train, bench, n=JACCARD_N, min_overlap=DECONTAM_MIN_OVERLAP)
+
+    def q_span_dedup(spark, sf):
+        return dedup.span_dedup(_docs(spark, sf), span_tokens=SPAN_TOKENS)
 
     def q_dedup_minhash_pairs(spark, sf):
         return dedup.minhash_neardup_pairs(
@@ -411,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "decontam_pairs": q_decontam_pairs,
         "decontam_keep": q_decontam_keep,
+        "span_dedup": q_span_dedup,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_minhash_components": q_dedup_minhash_components,
         "dedup_minhash_keep": q_dedup_minhash_keep,
@@ -773,6 +779,24 @@ flagged AS (SELECT DISTINCT doc_id FROM pairs
 SELECT doc_id FROM documents
 WHERE doc_id % {BENCH_MOD} <> 0
   AND doc_id NOT IN (SELECT doc_id FROM flagged)""",
+        "span_dedup": f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+spans AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[(i*{SPAN_TOKENS}+1):((i+1)*{SPAN_TOKENS})], ' ') AS sp
+  FROM toks, LATERAL (SELECT unnest(generate_series(
+       0, CAST(ceil(len(t)/{SPAN_TOKENS}.0) AS INT) - 1)) AS i)
+),
+own AS (SELECT sp, count(*) AS sdf, min(doc_id * 1048576 + pos) AS okey
+        FROM spans GROUP BY sp),
+kept AS (SELECT doc_id, pos, sp FROM spans JOIN own USING (sp)
+         WHERE sdf = 1 OR doc_id * 1048576 + pos = okey),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+          FROM spans GROUP BY doc_id)
+SELECT k.doc_id, string_agg(k.sp, ' ' ORDER BY k.pos) AS text,
+       s.n_spans, CAST(count(*) AS BIGINT) AS n_kept
+FROM kept k JOIN sizes s USING (doc_id)
+GROUP BY k.doc_id, s.n_spans""",
         "dedup_minhash_pairs": _minhash_neardup_sql(),
         "dedup_minhash_components": _components_sql(_minhash_neardup_sql(),
                                                     keep_only=False),

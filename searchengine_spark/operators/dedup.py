@@ -334,3 +334,62 @@ def decontaminate_keep(docs: DataFrame, bench: DataFrame, n: int = 3,
     return (docs.select(F.col(id_col).alias("doc_id"))
             .join(flagged, "doc_id", "left_anti")
             .select("doc_id"))
+
+
+def span_dedup(df: DataFrame, span_tokens: int = 12,
+               text_col: str = "text", id_col: str = "doc_id",
+               hashed_keys: bool = True) -> DataFrame:
+    """C4-style span-level dedup: chunk each document into consecutive
+    fixed-width token spans, drop every span whose exact text occurs
+    elsewhere in the corpus EXCEPT its first occurrence (owner = the
+    lexicographically smallest (doc_id, pos)), and reassemble the
+    surviving spans in order. Returns (doc_id, text, n_spans, n_kept);
+    docs whose every span was dropped do not appear (their text is
+    empty). This is the published C4 procedure ("discard all but one of
+    any three-sentence span occurring more than once") re-expressed over
+    fixed token windows — the corpus here has no sentence boundaries.
+
+    Scale shape: two shuffles of span-granular rows — ownership is one
+    groupBy on the span key (an 8-byte xxhash64 when hashed_keys, so the
+    span TEXT never shuffles for ownership and keys are uniform — no
+    salting needed), reassembly is one groupBy on doc_id. Owner identity
+    is the encoded key doc_id·2^20 + pos: exact while pos < 2^20 (docs
+    under ~12.6M tokens at span 12) and doc_id < 2^43 — both comfortably
+    true at 10^12-doc web scale.
+    """
+    spark_toks = F.split(F.col(text_col), " ")
+    n_sp = F.ceil(F.size(spark_toks) / F.lit(span_tokens)).cast("int")
+    span_structs = F.transform(
+        F.sequence(F.lit(0), n_sp - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", F.slice(spark_toks, i * span_tokens + 1, span_tokens)
+            ).alias("sp")),
+    )
+    spans = (spread_input(df)
+             .select(F.col(id_col).alias("doc_id"),
+                     F.explode(span_structs).alias("s"))
+             .select("doc_id", F.col("s.pos").alias("pos"),
+                     F.col("s.sp").alias("sp")))
+    key = (F.col("doc_id") * F.lit(1 << 20) + F.col("pos")).alias("okey")
+    skey = F.xxhash64("sp") if hashed_keys else F.col("sp")
+    spans = spans.withColumn("k", skey)
+    own = (spans.select("k", key)
+           .groupBy("k")
+           .agg(F.count("*").alias("sdf"), F.min("okey").alias("okey")))
+    kept = (spans.join(own, "k")
+            .filter((F.col("sdf") == 1)
+                    | (F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
+                       == F.col("okey"))))
+    sizes = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"))
+    out = (kept.groupBy("doc_id")
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "sp"))),
+                        lambda x: x["sp"]),
+                    " ").alias("text"),
+                F.count("*").cast("long").alias("n_kept")))
+    return (out.join(sizes, "doc_id")
+            .select("doc_id", "text", "n_spans", "n_kept"))

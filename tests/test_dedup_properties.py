@@ -220,3 +220,35 @@ def test_decontamination_planted(spark):
             for r in decontaminate_keep(docs, bench, n=3,
                                         min_overlap=3).collect()}
     assert kept == {2, 3, 4}
+
+
+def test_span_dedup_planted(spark):
+    """C4-style span dedup with planted cross-doc span duplication:
+    a 4-token span repeated verbatim in two later docs survives only at
+    its first occurrence (min (doc_id, pos) owner); unique spans and the
+    owner doc are untouched; counts are per-doc exact."""
+    from searchengine_spark.operators.dedup import span_dedup
+
+    boiler = "all rights reserved contact"          # the duplicated span
+    docs = spark.createDataFrame(
+        [(1, f"alpha beta gamma delta {boiler} epsilon zeta eta theta"),
+         (2, f"{boiler} iota kappa lambda mu"),
+         (3, "nu xi omicron pi rho sigma tau upsilon"),
+         (4, f"phi chi psi omega {boiler}")],
+        "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in
+           span_dedup(docs, span_tokens=4).collect()}
+    # doc 1 owns the boilerplate span (pos 1): keeps all 3 spans
+    assert out[1]["text"] == ("alpha beta gamma delta "
+                              f"{boiler} epsilon zeta eta theta")
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (3, 3)
+    # doc 2 loses its first span, keeps the remainder in order
+    assert out[2]["text"] == "iota kappa lambda mu"
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 1)
+    # doc 3 untouched
+    assert out[3]["text"] == "nu xi omicron pi rho sigma tau upsilon"
+    assert (out[3]["n_spans"], out[3]["n_kept"]) == (2, 2)
+    # doc 4 loses its second span
+    assert out[4]["text"] == "phi chi psi omega"
+    assert (out[4]["n_spans"], out[4]["n_kept"]) == (2, 1)
