@@ -389,6 +389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_quality_scores(spark, sf):
         return ts.quality_scores(_docs(spark, sf))
 
+    def q_repetition_stats(spark, sf):
+        return ts.repetition_stats(_docs(spark, sf))
+
     def q_token_counts(spark, sf):
         return ts.token_counts(_docs(spark, sf))
 
@@ -443,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ru_lemma_tf": q_ru_lemma_tf,
         "ru_lemma_df": q_ru_lemma_df,
         "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -981,6 +985,25 @@ WITH {_TOK}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS ws_tokens,
        CAST(sum(ceil(length(term) / 4.0)) AS BIGINT) AS bpe_tokens
 FROM tokf GROUP BY doc_id""",
+        "repetition_stats": """
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+tokf AS (SELECT doc_id, term, ord FROM tokp WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, max(tf) AS max_tf
+        FROM tf GROUP BY 1),
+bg0 AS (SELECT doc_id,
+          term || ' ' || lead(term, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+        FROM tokf),
+bg AS (SELECT doc_id, bg FROM bg0 WHERE bg IS NOT NULL),
+bs AS (SELECT doc_id, count(*) AS n_bg, count(DISTINCT bg) AS n_bg_d
+       FROM bg GROUP BY 1)
+SELECT t.doc_id, t.n_tokens,
+       round(t.max_tf * 1.0 / t.n_tokens, 6) AS top_token_frac,
+       round(1 - bs.n_bg_d * 1.0 / bs.n_bg, 6) AS dup_ngram_frac
+FROM tot t JOIN bs USING (doc_id)""",
         "lang_id": f"""
 WITH {_TOK},
 r AS (SELECT doc_id,

@@ -240,3 +240,52 @@ def simhash16(tf: DataFrame) -> DataFrame:
     for b in range(16):
         sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return summed.select("doc_id", sim.alias("simhash"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, top_token_frac, dup_ngram_frac) — Gopher-style
+    within-document repetition signals (most-frequent-token fraction,
+    duplicate-bigram fraction), the filters a webtext quality pipeline
+    runs before training.
+
+    Entirely ROW-LOCAL Catalyst — zero shuffle, zero Python: the top
+    token fraction is the maximum run length of the per-row sorted token
+    array (an aggregate() fold, not an explode+groupBy), and the
+    duplicate-bigram fraction is 1 − |array_distinct(bigrams)|/|bigrams|
+    over the same row. Docs with fewer than two tokens are dropped (no
+    bigram is defined there), matching the oracle's inner join."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    nt = F.size(toks)
+    srt = F.array_sort(toks)
+    max_run = F.when(
+        nt >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), nt - 1),
+            F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+            lambda acc, i: F.when(
+                F.element_at(srt, i + 1) == F.element_at(srt, i),
+                F.struct((acc["cur"] + 1).alias("cur"),
+                         F.greatest(acc["best"], acc["cur"] + 1)
+                         .alias("best")))
+             .otherwise(F.struct(F.lit(1).alias("cur"),
+                                 acc["best"].alias("best"))),
+            lambda acc: acc["best"]),
+    ).otherwise(F.lit(1))
+    bigrams = F.when(
+        nt >= 2,
+        F.transform(F.sequence(F.lit(0), nt - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                          F.element_at(toks, i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.size(bigrams)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        nt.cast("long").alias("n_tokens"),
+        F.round(max_run / nt, 6).alias("top_token_frac"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / n_bg, 6)
+         .alias("dup_ngram_frac"),
+        n_bg.alias("_n_bg"),
+    )
+    return (out.filter(F.col("_n_bg") > 0)
+            .drop("_n_bg"))

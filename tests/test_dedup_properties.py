@@ -252,3 +252,28 @@ def test_span_dedup_planted(spark):
     # doc 4 loses its second span
     assert out[4]["text"] == "phi chi psi omega"
     assert (out[4]["n_spans"], out[4]["n_kept"]) == (2, 1)
+
+
+def test_repetition_stats_planted(spark):
+    """Hand-computed Gopher repetition signals, and the zero-shuffle plan
+    claim: the whole operator is row-local Catalyst (no Exchange)."""
+    from searchengine_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),       # 5 toks, top 'a'×3; bigrams: ab ba ab ba -> 2/4 dup
+         (2, "x x x x"),         # 4 toks, top 4/4; bigrams: xx xx xx -> 2/3 dup
+         (3, "p q r s"),         # no repetition at all
+         (4, "solo")],           # single token: no bigram -> dropped
+        "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_tokens"], out[1]["top_token_frac"],
+            out[1]["dup_ngram_frac"]) == (5, 0.6, 0.5)
+    assert (out[2]["n_tokens"], out[2]["top_token_frac"],
+            out[2]["dup_ngram_frac"]) == (4, 1.0, round(1 - 1 / 3, 6))
+    assert (out[3]["top_token_frac"], out[3]["dup_ngram_frac"]) == (0.25, 0.0)
+
+    plan = repetition_stats(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
