@@ -120,6 +120,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.operators import dedup, relational_search as rs
+    from searchengine_spark.operators import sampling as smp
     from searchengine_spark.operators import similarity as sim
     from searchengine_spark.operators import textstats as ts
 
@@ -392,6 +393,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_repetition_stats(spark, sf):
         return ts.repetition_stats(_docs(spark, sf))
 
+    def q_hash_split(spark, sf):
+        return smp.hash_split(_docs(spark, sf))
+
+    def q_stratified_sample(spark, sf):
+        return smp.stratified_sample(
+            _docs(spark, sf), {"en": 0.5, "de": 0.25}, stratum_col="lang")
+
     def q_token_counts(spark, sf):
         return ts.token_counts(_docs(spark, sf))
 
@@ -447,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ru_lemma_df": q_ru_lemma_df,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -985,6 +995,26 @@ WITH {_TOK}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS ws_tokens,
        CAST(sum(ceil(length(term) / 4.0)) AS BIGINT) AS bpe_tokens
 FROM tokf GROUP BY doc_id""",
+        "hash_split": (lambda th: f"""
+SELECT doc_id,
+  CASE WHEN h < {th[0][1]} THEN '{th[0][0]}'
+       WHEN h < {th[1][1]} THEN '{th[1][0]}'
+       ELSE '{th[2][0]}' END AS split
+FROM (SELECT doc_id,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)
+             AS BIGINT) AS h
+      FROM documents)""")(__import__(
+            "searchengine_spark.operators.sampling",
+            fromlist=["split_thresholds"]).split_thresholds(
+                {"train": 0.90, "val": 0.05, "test": 0.05})),
+        "stratified_sample": (lambda b_en, b_de: f"""
+SELECT doc_id FROM (
+  SELECT doc_id, lang,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15)
+         AS BIGINT) AS h
+  FROM documents)
+WHERE (lang = 'en' AND h < {b_en}) OR (lang = 'de' AND h < {b_de})""")(
+            int(0.5 * (1 << 60)), int(0.25 * (1 << 60))),
         "repetition_stats": """
 WITH tokp AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term,

@@ -277,3 +277,41 @@ def test_repetition_stats_planted(spark):
     plan = repetition_stats(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    """hash_split: every doc gets exactly one split, assignment is
+    identical across runs and partitionings, fractions are near the
+    weights, and the plan is Exchange-free (row-local projection)."""
+    from searchengine_spark.operators.sampling import hash_split
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"),
+                                       F.lit("t").alias("text"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(docs.repartition(7)).collect()}
+    assert a == b and len(a) == 2000
+    frac_train = sum(1 for s in a.values() if s == "train") / 2000
+    assert 0.85 < frac_train < 0.95
+    assert set(a.values()) == {"train", "val", "test"}
+
+    plan = hash_split(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("Repartition")[0]
+
+
+def test_stratified_sample_respects_strata(spark):
+    """stratified_sample keeps only named strata at their fractions and
+    is deterministic (a subset relation holds when fracs grow)."""
+    from searchengine_spark.operators.sampling import stratified_sample
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+         .when(F.col("id") % 3 == 1, "de").otherwise("zh").alias("lang"))
+    small = {r["doc_id"] for r in stratified_sample(
+        docs, {"en": 0.3}, "lang").collect()}
+    big = {r["doc_id"] for r in stratified_sample(
+        docs, {"en": 0.6}, "lang").collect()}
+    assert small <= big                      # same hash, larger bound
+    assert all(d % 3 == 0 for d in big)      # only the named stratum
+    assert 0.2 < len(small) / 1000 < 0.4 and 0.5 < len(big) / 1000 < 0.7
