@@ -53,6 +53,47 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _pii_aug(df: DataFrame) -> DataFrame:
+    """The synthetic corpus carries no PII, so the contract entry plants
+    it deterministically (pure function of doc_id — identical expression
+    in the DuckDB oracle): one email, one dotted IPv4, one dashed phone
+    per doc, plus a second email on every 7th doc so counts vary."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return df.select("doc_id", F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), s(d % 50),
+        F.lit("@example.com now or call 555-"),
+        F.lpad(s(d % 1000), 3, "0"), F.lit("-0142 at 10.0."),
+        s(d % 256), F.lit(".7 today"),
+        F.when(d % 7 == 0,
+               F.concat(F.lit(" cc backup"), s(d % 9),
+                        F.lit("@mail.example.org"))).otherwise(F.lit("")),
+    ).alias("text"))
+
+
+def _c4_aug(df: DataFrame) -> DataFrame:
+    """Multi-line text for the C4 line filter (the corpus is single-line):
+    a kept opening sentence, a too-short line, a javascript line, an
+    unterminated substring line, conditional lorem-ipsum / code-brace
+    lines (doc-level flags), and a kept closing line. Deterministic and
+    mirrored verbatim in the oracle."""
+    d = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    return df.select("doc_id", F.concat(
+        F.lit("Document "), d, F.lit(" begins with "),
+        F.substring("text", 1, 30), F.lit("."), nl,
+        F.lit("too short"), nl,
+        F.lit("Enable javascript to continue browsing."), nl,
+        F.substring("text", 31, 40), nl,
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit("Lorem ipsum dolor sit amet.\n")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit("var x = {a: 1};\n")).otherwise(F.lit("")),
+        F.lit("Document "), d, F.lit(" ends here!"),
+    ).alias("text"))
+
+
 def _ru_corpus() -> list[tuple[int, str]]:
     """Deterministic literal Russian corpus for oracling the reference
     lemmatization path (E2 tokenize + E3 lemmatize + E4 function-word
@@ -121,6 +162,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.operators import dedup, relational_search as rs
     from searchengine_spark.operators import sampling as smp
+    from searchengine_spark.operators import scrub
     from searchengine_spark.operators import similarity as sim
     from searchengine_spark.operators import textstats as ts
 
@@ -410,6 +452,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprints(spark, sf):
         return ts.fingerprints(_docs(spark, sf))
 
+    def q_pii_redact(spark, sf):
+        return scrub.pii_redact(_pii_aug(_docs(spark, sf)))
+
+    def q_c4_line_filter(spark, sf):
+        return scrub.c4_line_filter(_c4_aug(_docs(spark, sf)))
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_df_cf": q_term_df_cf,
@@ -460,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "pii_redact": q_pii_redact,
+        "c4_line_filter": q_c4_line_filter,
     }
 
 
@@ -1042,6 +1092,57 @@ r AS (SELECT doc_id,
 SELECT doc_id, CAST(CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END AS INT) AS is_en_like
 FROM r""",
         "fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "pii_redact": r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' Contact user' || CAST(doc_id % 50 AS VARCHAR)
+    || '@example.com now or call 555-'
+    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0142 at 10.0.'
+    || CAST(doc_id % 256 AS VARCHAR) || '.7 today'
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' cc backup' || CAST(doc_id % 9 AS VARCHAR)
+                 || '@mail.example.org'
+            ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
+FROM aug""",
+        "c4_line_filter": """
+WITH aug AS (
+  SELECT doc_id,
+    'Document ' || CAST(doc_id AS VARCHAR) || ' begins with '
+    || substr(text, 1, 30) || '.' || chr(10)
+    || 'too short' || chr(10)
+    || 'Enable javascript to continue browsing.' || chr(10)
+    || substr(text, 31, 40) || chr(10)
+    || CASE WHEN doc_id % 13 = 0
+            THEN 'Lorem ipsum dolor sit amet.' || chr(10) ELSE '' END
+    || CASE WHEN doc_id % 17 = 0
+            THEN 'var x = {a: 1};' || chr(10) ELSE '' END
+    || 'Document ' || CAST(doc_id AS VARCHAR) || ' ends here!' AS text
+  FROM documents),
+flt AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)), x ->
+      substring(trim(x), -1, 1) IN ('.', '!', '?', '"')
+      AND len(list_filter(string_split(trim(x), ' '), w -> w <> '')) >= 3
+      AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+  FROM aug)
+SELECT doc_id,
+  coalesce(array_to_string(kept, chr(10)), '') AS text,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS drop_doc
+FROM flt""",
     }
     # the materialized-index probes are result-identical to the ad-hoc
     # multiprobe recomputes by construction — same oracle SQL
