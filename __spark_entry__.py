@@ -53,6 +53,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def _pii_aug(df: DataFrame) -> DataFrame:
     """The synthetic corpus carries no PII, so the contract entry plants
     it deterministically (pure function of doc_id — identical expression
@@ -452,6 +456,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprints(spark, sf):
         return ts.fingerprints(_docs(spark, sf))
 
+    def q_events_windowed(spark, sf):
+        from searchengine_spark.streaming.events import windowed_counts
+        return windowed_counts(_events(spark, sf))
+
+    def q_events_sessions(spark, sf):
+        from searchengine_spark.streaming.events import session_windows
+        return session_windows(_events(spark, sf))
+
     def q_pii_redact(spark, sf):
         return scrub.pii_redact(_pii_aug(_docs(spark, sf)))
 
@@ -510,6 +522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "pii_redact": q_pii_redact,
         "c4_line_filter": q_c4_line_filter,
+        "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -1143,6 +1157,29 @@ SELECT doc_id,
   CAST(len(kept) AS BIGINT) AS n_kept,
   (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS drop_doc
 FROM flt""",
+        "events_windowed": """
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id,
+  CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+  CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS sess_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid""",
     }
     # the materialized-index probes are result-identical to the ad-hoc
     # multiprobe recomputes by construction — same oracle SQL

@@ -41,6 +41,20 @@ EPOCH = datetime(2024, 10, 16, tzinfo=timezone.utc)  # fixed; no wall clock
 
 PAGES_SCHEMA_COLS = ["url", "warc_ts", "html", "text", "lang"]
 
+
+def pages_schema():
+    """The canonical page-batch schema (shared by gen_pages_spark and the
+    streaming ingest file source, which must declare it up front)."""
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType, TimestampType)
+    return StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), False),
+        StructField("text", StringType(), False),
+        StructField("lang", StringType(), False),
+    ])
+
 _EN_WORDS = ("the quick brown fox jumps over lazy dog search engine index "
              "query ranking shard partition merge block compress scale").split()
 
@@ -177,20 +191,12 @@ def gen_pages_spark(spark, n_docs: int, seed: int = DEFAULT_SEED,
     gen_pages_local for the same (seed, n_docs, vocab_size).
     """
     import pandas as pd
-    from pyspark.sql.types import (BinaryType, StringType, StructField,
-                                   StructType, TimestampType)
 
     from .deploy import ship_package
 
     ship_package(spark)
 
-    schema = StructType([
-        StructField("url", StringType(), False),
-        StructField("warc_ts", TimestampType(), False),
-        StructField("html", BinaryType(), False),
-        StructField("text", StringType(), False),
-        StructField("lang", StringType(), False),
-    ])
+    schema = pages_schema()
 
     def gen(batches):
         for pdf in batches:

@@ -1,0 +1,141 @@
+"""Structured Streaming surfaces: event-time windows/sessions (batch and
+streaming give identical results; watermarks close sessions) and the
+streaming ingest front-end over the incremental commit protocol."""
+
+import os
+import sys
+from datetime import datetime, timedelta
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.streaming.events import session_windows, windowed_counts
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + timedelta(seconds=s), u, et, v)
+         for i, (s, u, et, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double")
+
+
+def test_windowed_counts_planted(spark):
+    df = _ev(spark, [
+        (0, 1, "click", 1.0),      # window 0
+        (599, 1, "click", 2.0),    # window 0 (last second of 10 min)
+        (600, 1, "click", 4.0),    # window 1 (exact boundary -> next)
+        (601, 2, "view", 8.0),     # window 1
+    ])
+    out = {(r["win_start"], r["event_type"]): r
+           for r in windowed_counts(df).collect()}
+    base = int(T0.timestamp())
+    assert out[(base, "click")]["n_events"] == 2
+    assert out[(base, "click")]["sum_value"] == 3.0
+    assert out[(base + 600, "click")]["sum_value"] == 4.0
+    assert out[(base + 600, "view")]["n_events"] == 1
+    assert len(out) == 3
+
+
+def test_session_windows_planted(spark):
+    gap = 30 * 60
+    df = _ev(spark, [
+        (0, 1, "click", 1.0),
+        (gap - 1, 1, "click", 2.0),        # strictly inside gap: merges
+        (2 * gap - 1 + 1, 1, "click", 4.0),  # exactly gap after prev: NEW
+        (0, 2, "view", 8.0),               # other user: own session
+    ])
+    out = sorted(((r["user_id"], r["sess_start"], r["sess_end"],
+                   r["n_events"], r["sum_value"])
+                  for r in session_windows(df).collect()))
+    base = int(T0.timestamp())
+    assert out == [
+        (1, base, base + (gap - 1) + gap, 2, 3.0),
+        (1, base + 2 * gap, base + 3 * gap, 1, 4.0),
+        (2, base, base + gap, 1, 8.0),
+    ]
+
+
+def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
+    """The same windowed_counts expression runs as a streaming query
+    (file source, availableNow, complete mode) and lands on the batch
+    answer exactly."""
+    src = str(tmp_path / "events_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+    batch = sorted(map(tuple, windowed_counts(events).collect()))
+
+    stream = (spark.readStream.schema(events.schema).parquet(src))
+    q = (windowed_counts(stream).writeStream
+         .format("memory").queryName("wc_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM wc_stream").collect()))
+    assert got == batch
+
+
+def test_session_windows_streaming_watermark_closes(spark, tmp_path):
+    """Append-mode session streaming: the watermark advancing (a later
+    file) closes and emits exactly the batch sessions of the earlier
+    events — the stateful-session semantics the operator claims."""
+    src = tmp_path / "sess_src"
+    real = [(0, 1, "click", 1.0), (60, 1, "click", 2.0),
+            (7200, 1, "click", 4.0), (30, 2, "view", 8.0)]
+    df_real = _ev(spark, real)
+    df_real.coalesce(1).write.mode("append").parquet(str(src))
+    # flush file: far-future events advance the watermark past every
+    # real session end; their own (still-open) sessions must NOT emit
+    _ev(spark, [(10 ** 6, 1, "flush", 0.0),
+                (10 ** 6, 2, "flush", 0.0)]).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema(df_real.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (session_windows(stream, watermark="0 seconds").writeStream
+         .format("memory").queryName("sess_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM sess_stream").collect()))
+    want = sorted(map(tuple, session_windows(df_real).collect()))
+    assert got == want and len(got) == 3
+
+
+def test_stream_index_drains_and_serves(spark, tmp_path):
+    """readStream drop-dir -> foreachBatch -> incremental upsert: the
+    backlog drains with availableNow, a later drop is picked up from the
+    same checkpoint (file-source log), and the index serves the result."""
+    from searchengine_spark.plans.api import SearchEngine
+    from searchengine_spark.sources.corpus import gen_pages_spark
+    from searchengine_spark.streaming.ingest import stream_index
+
+    work = str(tmp_path / "idx")
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop)
+
+    eng = SearchEngine(spark, work)
+    eng.build_index(gen_pages_spark(spark, 60))
+    assert eng.statistics()["statistics"]["total"]["pages"] == 60
+
+    bigger = gen_pages_spark(spark, 90)
+    old_urls = [r["url"] for r in eng.io.read("docs").select("url").collect()]
+    fresh = bigger.filter(~F.col("url").isin(old_urls))
+    # two drops: first lands before the stream starts (backlog), the
+    # second after the first drain (incremental pickup, same checkpoint)
+    part1 = fresh.filter(F.xxhash64("url") % 2 == 0)
+    part2 = fresh.filter(F.xxhash64("url") % 2 != 0)
+    n1, n2 = part1.count(), part2.count()
+    assert n1 > 0 and n2 > 0 and n1 + n2 == 30
+
+    part1.coalesce(1).write.mode("append").parquet(drop)
+    q = stream_index(eng, drop, ckpt, available_now=True)
+    q.awaitTermination(300)
+    assert eng.statistics()["statistics"]["total"]["pages"] == 60 + n1
+
+    part2.coalesce(1).write.mode("append").parquet(drop)
+    q = stream_index(eng, drop, ckpt, available_now=True)
+    q.awaitTermination(300)
+    assert eng.statistics()["statistics"]["total"]["pages"] == 90
+    assert eng.search("леопард обитает")["result"] is True
