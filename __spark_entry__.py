@@ -464,6 +464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from searchengine_spark.streaming.events import session_windows
         return session_windows(_events(spark, sf))
 
+    def q_events_props_stats(spark, sf):
+        from searchengine_spark.streaming.events import props_field_stats
+        return props_field_stats(_events(spark, sf))
+
     def q_pii_redact(spark, sf):
         return scrub.pii_redact(_pii_aug(_docs(spark, sf)))
 
@@ -524,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
+        "events_props_stats": q_events_props_stats,
     }
 
 
@@ -1180,6 +1185,15 @@ SELECT user_id,
   CAST(count(*) AS BIGINT) AS n_events,
   round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid""",
+        "events_props_stats": """
+SELECT event_type,
+  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS n_with_field,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS sum_field,
+  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_field,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_field
+FROM events GROUP BY event_type""",
     }
     # the materialized-index probes are result-identical to the ad-hoc
     # multiprobe recomputes by construction — same oracle SQL

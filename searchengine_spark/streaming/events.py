@@ -48,6 +48,22 @@ def windowed_counts(df: DataFrame, window: str = "10 minutes",
                     F.col(by), "n_events", "sum_value"))
 
 
+def props_field_stats(df: DataFrame, field: str = "k",
+                      by: str = "event_type",
+                      props_col: str = "props") -> DataFrame:
+    """(<by>, n_with_field, sum_field, min_field, max_field) — extract one
+    numeric field from the semi-structured JSON `props` column and
+    aggregate it per key. `get_json_object` is a row-local JVM expression
+    (no UDF, no parse tree materialized), so this is one hash aggregate
+    over a projection — the JSON bytes themselves never shuffle."""
+    v = F.get_json_object(F.col(props_col), f"$.{field}").cast("long")
+    return (df.groupBy(F.col(by))
+            .agg(F.count(v).cast("long").alias("n_with_field"),
+                 F.sum(v).cast("long").alias("sum_field"),
+                 F.min(v).alias("min_field"),
+                 F.max(v).alias("max_field")))
+
+
 def session_windows(df: DataFrame, gap: str = "30 minutes",
                     key: str = "user_id", ts_col: str = "ts",
                     value_col: str = "value",

@@ -58,6 +58,19 @@ def test_session_windows_planted(spark):
     ]
 
 
+def test_props_field_stats_planted(spark):
+    from searchengine_spark.streaming.events import props_field_stats
+    df = spark.createDataFrame(
+        [(1, "click", '{"k": 3}'), (2, "click", '{"k": 5}'),
+         (3, "click", '{"other": 9}'),       # field absent: not counted
+         (4, "view", None)],                  # null props: not counted
+        "event_id long, event_type string, props string")
+    out = {r["event_type"]: r for r in props_field_stats(df).collect()}
+    assert (out["click"]["n_with_field"], out["click"]["sum_field"],
+            out["click"]["min_field"], out["click"]["max_field"]) == (2, 8, 3, 5)
+    assert (out["view"]["n_with_field"], out["view"]["sum_field"]) == (0, None)
+
+
 def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
     """The same windowed_counts expression runs as a streaming query
     (file source, availableNow, complete mode) and lands on the batch
