@@ -240,6 +240,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_span_dedup(spark, sf):
         return dedup.span_dedup(_docs(spark, sf), span_tokens=SPAN_TOKENS)
 
+    def q_minhash_index_probe(spark, sf):
+        """Incremental-ingestion dedup: the corpus slice (doc_id % 37
+        != 0) is materialized as a MinHashIndex ONCE per (process, sf);
+        the bench slice probes it as the incoming batch."""
+        import tempfile
+
+        key = (sf, "minhash")
+        if key not in _ANN_INDEX_CACHE:
+            path = tempfile.mkdtemp(prefix="minhash_idx_")
+            corpus = _docs(spark, sf).filter(F.col("doc_id") % BENCH_MOD != 0)
+            _ANN_INDEX_CACHE[key] = dedup.MinHashIndex(
+                spark, f"{path}/t", k=MINHASH_K, bands=MINHASH_BANDS,
+                n=JACCARD_N).build(corpus)
+        docs = _docs(spark, sf)
+        corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+        batch = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        return _ANN_INDEX_CACHE[key].probe_pairs(
+            batch, corpus, threshold=JACCARD_THRESHOLD)
+
     def q_dedup_minhash_pairs(spark, sf):
         return dedup.minhash_neardup_pairs(
             _docs(spark, sf), k=MINHASH_K, bands=MINHASH_BANDS,
@@ -493,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_keep": q_decontam_keep,
         "span_dedup": q_span_dedup,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "minhash_index_probe": q_minhash_index_probe,
         "dedup_minhash_components": q_dedup_minhash_components,
         "dedup_minhash_keep": q_dedup_minhash_keep,
         "dedup_simhash": q_dedup_simhash,
@@ -620,10 +640,15 @@ FROM cand WHERE hamming <= {max_hamming}"""
 
 
 def _minhash_neardup_sql(k: int | None = None, bands: int | None = None,
-                         threshold: float | None = None) -> str:
+                         threshold: float | None = None,
+                         pair_pred: str = "a.doc_id < b.doc_id",
+                         out_a: str = "doc_a",
+                         out_b: str = "doc_b") -> str:
     """Banded MinHash-LSH near-dup pairs over 3-gram shingles, mirroring
     dedup.minhash_neardup_pairs: one md5→60-bit int per shingle, k affine
-    minhashes (a_j·h+b_j) mod p, b bands × r rows, exact-Jaccard verify."""
+    minhashes (a_j·h+b_j) mod p, b bands × r rows, exact-Jaccard verify.
+    pair_pred/out_a/out_b parameterize the cross-set variant (the
+    MinHashIndex batch probe: corpus docs × batch docs)."""
     from searchengine_spark.operators.dedup import MINHASH_P, minhash_coeffs
 
     k = k if k is not None else MINHASH_K
@@ -648,12 +673,12 @@ hashed AS (SELECT doc_id,
 wide AS (SELECT doc_id, {hs} FROM hashed GROUP BY doc_id),
 bs AS (SELECT doc_id, {band_sigs} FROM wide),
 cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         FROM bs a JOIN bs b ON a.doc_id < b.doc_id AND ({band_eq})),
+         FROM bs a JOIN bs b ON ({pair_pred}) AND ({band_eq})),
 common AS (SELECT c.da, c.db, count(*) AS cm
            FROM cand c JOIN tri a ON a.doc_id = c.da
                        JOIN tri b ON b.doc_id = c.db AND b.sh = a.sh
            GROUP BY 1, 2)
-SELECT da AS doc_a, db AS doc_b,
+SELECT da AS {out_a}, db AS {out_b},
        round(cm * 1.0 / (sa.n + sb.n - cm), 6) AS jaccard
 FROM common JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
 WHERE cm * 1.0 / (sa.n + sb.n - cm) >= {threshold}"""
@@ -881,6 +906,10 @@ SELECT k.doc_id, string_agg(k.sp, ' ' ORDER BY k.pos) AS text,
 FROM kept k JOIN sizes s USING (doc_id)
 GROUP BY k.doc_id, s.n_spans""",
         "dedup_minhash_pairs": _minhash_neardup_sql(),
+        "minhash_index_probe": _minhash_neardup_sql(
+            pair_pred=(f"a.doc_id % {BENCH_MOD} <> 0 "
+                       f"AND b.doc_id % {BENCH_MOD} = 0"),
+            out_a="corpus_doc", out_b="batch_doc"),
         "dedup_minhash_components": _components_sql(_minhash_neardup_sql(),
                                                     keep_only=False),
         "dedup_minhash_keep": _components_sql(_minhash_neardup_sql(),

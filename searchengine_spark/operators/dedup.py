@@ -393,3 +393,126 @@ def span_dedup(df: DataFrame, span_tokens: int = 12,
                 F.count("*").cast("long").alias("n_kept")))
     return (out.join(sizes, "doc_id")
             .select("doc_id", "text", "n_spans", "n_kept"))
+
+
+# --- materialized near-dup index (incremental ingestion) --------------------
+
+MINHASH_SIDECAR = "_minhash.json"
+
+
+class MinHashIndex:
+    """Materialized MinHash-LSH near-duplicate index: the banded signature
+    table (doc_id, n_sh, band, sig) written ONCE, partitioned by band.
+    This is the incremental-ingestion dedup path a production pipeline
+    runs: each incoming batch is signed and joined against the signature
+    scan on (band, sig) — per-batch cost is O(batch shingles + matched
+    candidates), independent of corpus size, and the corpus TEXT is only
+    re-shingled for the matched candidate docs (broadcast semi-join).
+    `append` adds a committed batch's signatures in place (partitioned
+    append, no rebuild), so later batches dedup against corpus + all
+    prior batches. Signatures are ~bands rows of 32-char digests per doc
+    (~200 B/doc at b=4), so the index stays tiny next to the corpus.
+
+    The parameter sidecar doubles as the commit marker (the IvfAnnIndex
+    discipline): a crash mid-build leaves no sidecar and the index then
+    refuses to probe; a parameter mismatch on reopen refuses too, since
+    signatures from different (k, bands, n) are incomparable."""
+
+    def __init__(self, spark, path: str, k: int = 12, bands: int = 4,
+                 n: int = 3):
+        self.spark = spark
+        self.path = path
+        self.k = k
+        self.bands = bands
+        self.n = n
+
+    def _params(self) -> dict:
+        return {"k": self.k, "bands": self.bands, "n": self.n}
+
+    def _write_sidecar(self) -> None:
+        import json
+        import os
+        tmp = os.path.join(self.path, MINHASH_SIDECAR + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(self._params(), f)
+        os.replace(tmp, os.path.join(self.path, MINHASH_SIDECAR))
+
+    def _check_sidecar(self) -> None:
+        import json
+        import os
+        p = os.path.join(self.path, MINHASH_SIDECAR)
+        if not os.path.exists(p):
+            raise ValueError(
+                f"MinHash index at {self.path} has no {MINHASH_SIDECAR} "
+                "sidecar: the build did not complete. Rebuild.")
+        with open(p) as f:
+            on_disk = json.load(f)
+        if on_disk != self._params():
+            raise ValueError(
+                f"MinHash index params {on_disk} != requested "
+                f"{self._params()}: signatures are incomparable. Rebuild "
+                "or reopen with the on-disk parameters.")
+
+    def _signatures(self, df: DataFrame, text_col: str,
+                    id_col: str) -> DataFrame:
+        sh = shingles(df, self.n, text_col, id_col)
+        return minhash_band_signatures(sh, self.k, self.bands)
+
+    def build(self, df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> "MinHashIndex":
+        (self._signatures(df, text_col, id_col)
+             .repartition("band")
+             .write.mode("overwrite").partitionBy("band").parquet(self.path))
+        self._write_sidecar()
+        return self
+
+    def append(self, df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> "MinHashIndex":
+        self._check_sidecar()
+        (self._signatures(df, text_col, id_col)
+             .repartition("band")
+             .write.mode("append").partitionBy("band").parquet(self.path))
+        return self
+
+    def probe_pairs(self, batch: DataFrame, corpus: DataFrame,
+                    threshold: float = 0.5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+        """(corpus_doc, batch_doc, jaccard) — near-dup pairs between the
+        incoming batch and the INDEXED docs. `corpus` supplies the text
+        of indexed docs for exact verification; only matched candidates'
+        rows are read from it."""
+        self._check_sidecar()
+        bsh = (shingles(batch, self.n, text_col, id_col)
+               .localCheckpoint(eager=True))
+        bsigs = (minhash_band_signatures(bsh, self.k, self.bands)
+                 .select(F.col("doc_id").alias("batch_doc"),
+                         F.col("n_sh").alias("nb"), "band", "sig"))
+        idx = (self.spark.read.parquet(self.path)
+               .select(F.col("doc_id").alias("corpus_doc"),
+                       F.col("n_sh").alias("na"), "band", "sig"))
+        cand = (idx.join(bsigs, ["band", "sig"])
+                .select("corpus_doc", "batch_doc", "na", "nb").distinct()
+                .localCheckpoint(eager=True))
+        cset = (cand.select(F.col("corpus_doc").alias(id_col)).distinct())
+        csh = shingles(corpus.join(F.broadcast(cset), id_col, "left_semi"),
+                       self.n, text_col, id_col)
+        sa = csh.select(F.col("doc_id").alias("corpus_doc"), "sh")
+        sb = bsh.select(F.col("doc_id").alias("batch_doc"), "sh")
+        common = (cand.join(sa, "corpus_doc").join(sb, ["batch_doc", "sh"])
+                  .groupBy("corpus_doc", "batch_doc", "na", "nb")
+                  .agg(F.count("*").alias("common")))
+        raw = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        return (common.filter(raw >= F.lit(threshold))
+                .select("corpus_doc", "batch_doc",
+                        F.round(raw, 6).alias("jaccard")))
+
+    def dedup_batch(self, batch: DataFrame, corpus: DataFrame,
+                    threshold: float = 0.5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+        """The ingest-time filter: batch rows minus those near-dup to the
+        indexed corpus. Intra-batch dups are the batch's own concern —
+        run minhash_keep_first on it first if needed."""
+        dupes = (self.probe_pairs(batch, corpus, threshold, text_col,
+                                  id_col)
+                 .select(F.col("batch_doc").alias(id_col)).distinct())
+        return batch.join(F.broadcast(dupes), id_col, "left_anti")

@@ -315,3 +315,54 @@ def test_stratified_sample_respects_strata(spark):
     assert small <= big                      # same hash, larger bound
     assert all(d % 3 == 0 for d in big)      # only the named stratum
     assert 0.2 < len(small) / 1000 < 0.4 and 0.5 < len(big) / 1000 < 0.7
+
+
+def test_minhash_index_probe_and_append(spark, tmp_path):
+    """MinHashIndex: the batch probe finds exactly the direct
+    cross-set pairs; the sidecar gates probing; append extends the
+    index without rebuild; dedup_batch filters matched batch rows."""
+    from searchengine_spark.operators.dedup import (MinHashIndex,
+                                                    minhash_neardup_pairs)
+
+    corpus_rows = [(i, " ".join(f"w{i}_{j}" for j in range(20)))
+                   for i in range(1, 7)]
+    batch_rows = [
+        (101, corpus_rows[1][1] + " tail101"),   # near-dup of corpus 2
+        (102, "totally different content " + " ".join(
+            f"q{j}" for j in range(24))),         # no dup
+        (103, corpus_rows[4][1]),                 # exact dup of corpus 5
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    import pytest as _pytest
+    path = str(tmp_path / "mh_idx")
+    unbuilt = MinHashIndex(spark, path)
+    with _pytest.raises(ValueError, match="sidecar"):
+        unbuilt.probe_pairs(batch, corpus)
+
+    idx = MinHashIndex(spark, path).build(corpus)
+    with _pytest.raises(ValueError, match="params"):
+        MinHashIndex(spark, path, bands=6, k=12).probe_pairs(batch, corpus)
+
+    got = sorted(map(tuple, idx.probe_pairs(batch, corpus).collect()))
+    both = corpus.unionByName(batch)
+    direct = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in minhash_neardup_pairs(both).collect()}
+    want = sorted((a, b, j) for (a, b), j in direct.items()
+                  if a <= 6 and b >= 101)
+    assert got == want
+    assert {(a, b) for a, b, _ in got} == {(2, 101), (5, 103)}
+
+    kept = sorted(r["doc_id"]
+                  for r in idx.dedup_batch(batch, corpus).collect())
+    assert kept == [102]
+
+    # append batch; a later near-dup of an appended doc is then caught
+    idx.append(batch)
+    batch2 = spark.createDataFrame(
+        [(201, batch_rows[1][1] + " tail201")],   # near-dup of batch 102
+        "doc_id long, text string")
+    hits = sorted(map(tuple, idx.probe_pairs(
+        batch2, corpus.unionByName(batch)).collect()))
+    assert [(a, b) for a, b, _ in hits] == [(102, 201)]
