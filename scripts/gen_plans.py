@@ -98,6 +98,25 @@ def main() -> None:
                   spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
                   .filter("doc_id % 37 = 0"),
                   n=3, min_overlap=3))),
+        ("MinHashIndex batch probe — batch signatures joined against the "
+         "band-partitioned signature scan on (band, sig); the corpus "
+         "text is scanned ONLY for matched candidates (broadcast "
+         "semi-join on corpus_doc before the re-shingle Generate), so "
+         "per-batch cost is independent of corpus size",
+         plan(spark, __import__("searchengine_spark.operators.dedup",
+                                fromlist=["MinHashIndex"])
+              .MinHashIndex(spark, os.path.join(work, "mhidx"))
+              .build(docs.filter("doc_id % 37 <> 0"))
+              .probe_pairs(docs.filter("doc_id % 37 = 0"),
+                           docs.filter("doc_id % 37 <> 0")))),
+        ("Event sessionization — ONE exchange on the session key, then "
+         "sort-based session merge + aggregation within partitions "
+         "(the same plan a streaming run executes incrementally with "
+         "watermark state)",
+         plan(spark, __import__("searchengine_spark.streaming.events",
+                                fromlist=["session_windows"])
+              .session_windows(spark.read.parquet(
+                  "/root/testdata/sf0.001/events.parquet")))),
         ("Multi-plane-set LSH near-dup — one self-join keyed on "
          "(set_id, bucket) over exploded narrow key rows, distinct "
          "candidates, vectors joined back only for the exact-cosine "
