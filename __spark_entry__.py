@@ -493,6 +493,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_c4_line_filter(spark, sf):
         return scrub.c4_line_filter(_c4_aug(_docs(spark, sf)))
 
+    def q_bm25_topk_any(spark, sf):    # disjunctive ranked union (OR)
+        return rs.bm25_topk(_docs(spark, sf), Q_AND, k=10, mode="any")
+
+    def q_curate_keep(spark, sf):      # full curation funnel -> splits
+        from searchengine_spark.operators.curate import curate_corpus
+        return curate_corpus(_docs(spark, sf), min_tokens=30,
+                             min_stop_ratio=0.05)
+
+    def q_curate_funnel(spark, sf):    # per-gate funnel telemetry
+        from searchengine_spark.operators.curate import curation_funnel_stats
+        return curation_funnel_stats(_docs(spark, sf), min_tokens=30,
+                                     min_stop_ratio=0.05)
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_df_cf": q_term_df_cf,
@@ -503,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relevance_tf_sum": q_relevance_tf_sum,
         "bm25_topk": q_bm25_topk,
         "bm25_paged": q_bm25_paged,
+        "bm25_topk_any": q_bm25_topk_any,
         "source_filter_and": q_source_filter_and,
         "per_source_stats": q_per_source_stats,
         "dedup_exact_summary": q_dedup_exact_summary,
@@ -549,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_props_stats": q_events_props_stats,
+        "curate_keep": q_curate_keep,
+        "curate_funnel": q_curate_funnel,
     }
 
 
@@ -768,7 +784,8 @@ def _lsh_bucket_expr(vec_expr: str, dim: int, n_planes: int,
 
 
 def oracle_sql() -> dict[str, str]:
-    bm25 = lambda terms, k, offset: f"""
+    # mode="all" ⇒ conjunctive (every term present); "any" ⇒ ranked union
+    bm25 = lambda terms, k, offset, mode="all": f"""
 WITH {_TOK},
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
 dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
@@ -783,7 +800,7 @@ agg AS (SELECT doc_id, count(DISTINCT term) AS nt,
         sum(idf * tf * (1.2 + 1.0) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/(SELECT avgdl FROM ad)))) AS score
         FROM q GROUP BY doc_id)
 SELECT doc_id, round(score, 6) AS score FROM agg
-WHERE nt = {len(terms)}
+WHERE nt {f'= {len(terms)}' if mode == 'all' else '>= 1'}
 ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 """
 
@@ -825,6 +842,7 @@ SELECT doc_id, relevance FROM agg WHERE nt = {len(Q_AND)}
 ORDER BY relevance DESC, doc_id ASC LIMIT 20""",
         "bm25_topk": bm25(Q_BM25, 10, 0),
         "bm25_paged": bm25(Q_PAGED, 10, 10),
+        "bm25_topk_any": bm25(Q_AND, 10, 0, mode="any"),
         "source_filter_and": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -1224,6 +1242,53 @@ SELECT event_type,
   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_field
 FROM events GROUP BY event_type""",
     }
+    # Curation funnel (operators/curate.py): row-local signal projection
+    # shared by both entries; gates are min_tokens=30, stop_ratio>0.05,
+    # NOT drop_doc; dedup keep-first by md5(text) among survivors; split
+    # thresholds are the sampling.py exact integers.
+    _stops = "'the','a','an','of','to','in','and','is','on','for'"
+    _sig = f"""
+sig AS (
+  SELECT doc_id, text,
+    len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+    CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) = 0
+         THEN 0.0
+         ELSE len(list_filter(string_split(text, ' '),
+                              w -> w IN ({_stops}))) * 1.0
+              / len(list_filter(string_split(text, ' '), w -> w <> ''))
+    END AS stop_ratio,
+    (contains(lower(text), 'lorem ipsum') OR contains(text, '{{'))
+      AS drop_doc
+  FROM documents)"""
+    from searchengine_spark.operators.sampling import split_thresholds
+    th = split_thresholds({"train": 0.90, "val": 0.05, "test": 0.05})
+    sqls["curate_keep"] = f"""
+WITH {_sig},
+surv AS (SELECT * FROM sig
+         WHERE n_tokens >= 30 AND stop_ratio > 0.05 AND NOT drop_doc),
+keep AS (SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text))
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CASE WHEN h < {th[0][1]} THEN '{th[0][0]}'
+       WHEN h < {th[1][1]} THEN '{th[1][0]}'
+       ELSE '{th[2][0]}' END AS split
+FROM (SELECT surv.doc_id, surv.n_tokens,
+        CAST('0x' || substr(md5(CAST(surv.doc_id AS VARCHAR) || ':split'),
+                            1, 15) AS BIGINT) AS h
+      FROM surv JOIN keep USING (doc_id))"""
+    sqls["curate_funnel"] = f"""
+WITH {_sig},
+gates AS (SELECT CAST(count(*) AS BIGINT) AS n_input,
+  CAST(sum(CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_after_quality,
+  CAST(sum(CASE WHEN n_tokens >= 30 AND stop_ratio > 0.05
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+  CAST(sum(CASE WHEN n_tokens >= 30 AND stop_ratio > 0.05 AND NOT drop_doc
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_after_content
+  FROM sig),
+kept AS (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_kept
+         FROM sig
+         WHERE n_tokens >= 30 AND stop_ratio > 0.05 AND NOT drop_doc)
+SELECT * FROM gates, kept"""
     # the materialized-index probes are result-identical to the ad-hoc
     # multiprobe recomputes by construction — same oracle SQL
     sqls["lsh_ann_indexed"] = sqls["lsh_ann_multiprobe"]

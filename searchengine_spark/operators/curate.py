@@ -1,0 +1,118 @@
+"""End-to-end corpus curation funnel — the composition a training-data
+pipeline actually ships: quality gate → language gate → exact dedup →
+deterministic split, in ONE declarative lineage.
+
+Each stage exists elsewhere in this package as a standalone operator
+(textstats quality/lang-id, dedup keep-first, sampling hash_split); this
+module is the glue that proves they compose without materialization
+barriers. The signal stage is deliberately re-expressed ROW-LOCAL here
+(higher-order functions over the split-token array instead of the
+explode→groupBy the standalone operators use), so the whole funnel costs
+exactly ONE shuffle — the 16-byte md5 grouping of the exact dedup — and
+the document text never leaves its input partition.
+
+Scale shape at 100 TB:
+- signals + gates: one codegen projection over the documents scan
+  (filters push down; pruned columns never load)
+- dedup: groupBy on md5(text) — a fixed 32-char key, text itself is
+  not shuffled; min(doc_id) keep-first is a partial-aggregatable min
+- split: row-local hash against exact integer thresholds (sampling.py)
+- the funnel's selectivity compounds BEFORE the shuffle, so the one
+  exchange moves only surviving docs' (hash, id) pairs
+
+Every predicate is in the Java-regex∩SQL common subset, so a DuckDB
+oracle reproduces the funnel row-for-row (driver entry `curate_keep`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import split_thresholds, HASH_SPACE
+from .textstats import EN_STOPWORDS
+
+
+def curation_signals(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text, n_tokens, stop_ratio, drop_doc) — the row-local
+    signal projection the funnel gates on. n_tokens = whitespace tokens;
+    stop_ratio = fraction that are English stopwords (the lang-id
+    heuristic's feature); drop_doc = C4 document-level flags (lorem
+    ipsum / code brace). Zero shuffle; one codegen stage."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(EN_STOPWORDS)))
+    drop = (F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+            | F.contains(F.col(text_col), F.lit("{")))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"),
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 0, n_stop.cast("double") / n_tok.cast("double"))
+         .otherwise(F.lit(0.0)).alias("stop_ratio"),
+        drop.alias("drop_doc"),
+    )
+
+
+def curate_corpus(df: DataFrame, min_tokens: int = 10,
+                  min_stop_ratio: float = 0.05,
+                  weights: dict[str, float] | None = None,
+                  salt: str = "split", text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, split) — documents that survive the full
+    curation funnel, with their training-split assignment:
+
+      1. quality gate: n_tokens >= min_tokens
+      2. language gate: stop_ratio > min_stop_ratio (English-like)
+      3. content gate: NOT drop_doc (no lorem-ipsum / code braces)
+      4. exact dedup among survivors: keep-first (min doc_id) per
+         md5(text) — dedup runs AFTER the gates so junk never pays
+         for a hash shuffle
+      5. split: deterministic md5-hash assignment (sampling.hash_split
+         semantics, default 90/5/5) — stable across runs and engines
+
+    The stop_ratio comparison is exact in IEEE double (one division on
+    both engines), so the DuckDB oracle agrees row-for-row."""
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    surv = (curation_signals(df, text_col, id_col)
+            .filter((F.col("n_tokens") >= F.lit(min_tokens))
+                    & (F.col("stop_ratio") > F.lit(min_stop_ratio))
+                    & ~F.col("drop_doc")))
+    kept = (surv.groupBy(F.md5("text").alias("_sig"))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id"))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(":" + salt))), 1, 15), 16, 10).cast("long")
+    expr = None
+    for name, bound in split_thresholds(weights):
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    return (surv.join(kept, "doc_id")
+                .select("doc_id", "n_tokens", expr.alias("split")))
+
+
+def curation_funnel_stats(df: DataFrame, min_tokens: int = 10,
+                          min_stop_ratio: float = 0.05,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """One row of funnel telemetry — how many documents each gate removes:
+    (n_input, n_after_quality, n_after_lang, n_after_content, n_kept).
+    The counts are cumulative left-to-right in the gate order
+    curate_corpus applies, and the whole report is ONE aggregation over
+    the signal projection plus the dedup keep count."""
+    sig = curation_signals(df, text_col, id_col)
+    q = F.col("n_tokens") >= F.lit(min_tokens)
+    lng = F.col("stop_ratio") > F.lit(min_stop_ratio)
+    c = ~F.col("drop_doc")
+    gates = sig.agg(
+        F.count("*").cast("long").alias("n_input"),
+        F.sum(q.cast("long")).alias("n_after_quality"),
+        F.sum((q & lng).cast("long")).alias("n_after_lang"),
+        F.sum((q & lng & c).cast("long")).alias("n_after_content"),
+    )
+    kept = (sig.filter(q & lng & c)
+            .agg(F.count_distinct(F.md5("text")).cast("long")
+                 .alias("n_kept")))
+    return gates.crossJoin(kept)

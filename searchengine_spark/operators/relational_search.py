@@ -84,9 +84,15 @@ def relevance_tf_sum(docs: DataFrame, query_terms: list[str], k: int = 20,
 
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
               offset: int = 0, k1: float = BM25_K1, b: float = BM25_B,
-              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """BM25 top-k with AND semantics over a whitespace corpus (the flagship
-    relational form of the engine's query plan; scores rounded to 6dp).
+              mode: str = "all", text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """BM25 top-k over a whitespace corpus (the flagship relational form
+    of the engine's query plan; scores rounded to 6dp). mode="all" is the
+    reference's conjunctive semantics (every term must match); mode="any"
+    is the disjunctive ranked union the reference lacks — a doc matches
+    if it contains ANY query term, absent terms contribute exactly 0 to
+    the score (tf=0 ⇒ the BM25 term is 0), and the same one-groupBy plan
+    serves both (only the post-aggregation filter differs).
 
     Two token scans total (vs the naive tf/dl/df/score lineage re-derived
     per branch):
@@ -104,6 +110,8 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     # dup lists; the per-term column form would double-count its score) —
     # and the aggregate width stays bounded by the distinct term count
     query_terms = list(dict.fromkeys(query_terms))
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
     if not query_terms:
         return docs.sparkSession.createDataFrame(
             [], "doc_id long, score double")
@@ -130,8 +138,15 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
                          .cast("double").alias(f"tf{i}")
                          for i, t in enumerate(query_terms)]))
     matched = per_doc
-    for i in range(len(query_terms)):
-        matched = matched.filter(F.col(f"tf{i}") > 0)
+    if mode == "all":
+        for i in range(len(query_terms)):
+            matched = matched.filter(F.col(f"tf{i}") > 0)
+    else:  # any: ranked union — at least one term present
+        present = None
+        for i in range(len(query_terms)):
+            c = F.col(f"tf{i}") > 0
+            present = c if present is None else present | c
+        matched = matched.filter(present)
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
     score = None
     for i in range(len(query_terms)):

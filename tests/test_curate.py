@@ -1,0 +1,97 @@
+"""Curation funnel (operators/curate.py) and disjunctive BM25 semantics.
+
+The driver contract already checks curate_keep/curate_funnel/bm25_topk_any
+against DuckDB on the sf0.01 corpus (tests/test_entry_contract.py); these
+tests pin the SEMANTICS on planted fixtures where each gate provably fires.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from searchengine_spark.operators.curate import (curate_corpus,
+                                                 curation_funnel_stats)
+from searchengine_spark.operators.relational_search import bm25_topk
+
+GOOD = ("the quick brown fox jumps over a lazy dog and then runs off to "
+        "the river in the morning for a long drink of cold water is good")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gates_fire_individually(spark):
+    rows = [
+        (1, GOOD),                                   # survives
+        (2, "short of the and"),                     # quality gate (tokens)
+        (3, "alpha beta gamma delta " * 8),          # lang gate (no stopwords)
+        (4, GOOD + " lorem ipsum"),                  # content gate (flag)
+        (5, GOOD + " var x = {1}"),                  # content gate (brace)
+    ]
+    out = curate_corpus(_docs(spark, rows), min_tokens=10,
+                        min_stop_ratio=0.05).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["split"] in ("train", "val", "test")
+
+
+def test_dedup_keeps_first_occurrence(spark):
+    rows = [(10, GOOD), (3, GOOD), (7, GOOD + " extra tail words here.")]
+    out = curate_corpus(_docs(spark, rows), min_tokens=10,
+                        min_stop_ratio=0.05)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [3, 7]  # min doc_id per identical text, distinct text kept
+
+
+def test_funnel_stats_monotone_and_consistent(spark):
+    rows = [
+        (1, GOOD), (2, GOOD),                        # exact duplicates
+        (3, "tiny"), (4, "alpha beta gamma delta " * 8),
+        (5, GOOD + " lorem ipsum"),
+    ]
+    df = _docs(spark, rows)
+    st = curation_funnel_stats(df, min_tokens=10,
+                               min_stop_ratio=0.05).collect()[0]
+    assert (st["n_input"] >= st["n_after_quality"] >= st["n_after_lang"]
+            >= st["n_after_content"] >= st["n_kept"])
+    assert st["n_input"] == 5
+    assert st["n_after_content"] == 2   # docs 1 and 2 survive the gates
+    kept = curate_corpus(df, min_tokens=10, min_stop_ratio=0.05).count()
+    assert st["n_kept"] == kept == 1    # dup collapses to one
+
+
+def test_bm25_any_superset_of_all(spark):
+    rows = [
+        (1, "hash merge hash table"),
+        (2, "merge sort only"),
+        (3, "hash only here"),
+        (4, "nothing relevant at all"),
+    ]
+    df = _docs(spark, rows)
+    allr = bm25_topk(df, ["hash", "merge"], k=10, mode="all").collect()
+    anyr = bm25_topk(df, ["hash", "merge"], k=10, mode="any").collect()
+    all_ids = {r["doc_id"] for r in allr}
+    any_ids = {r["doc_id"] for r in anyr}
+    assert all_ids == {1}
+    assert any_ids == {1, 2, 3}          # ranked union, non-matches absent
+    # scores of conjunctive matches are identical in both modes
+    s_all = {r["doc_id"]: r["score"] for r in allr}
+    s_any = {r["doc_id"]: r["score"] for r in anyr}
+    for d in all_ids:
+        assert abs(s_all[d] - s_any[d]) < 1e-9
+
+
+def test_bm25_any_equals_all_for_single_term(spark):
+    rows = [(1, "hash a b"), (2, "c hash hash d"), (3, "e f g")]
+    df = _docs(spark, rows)
+    a = bm25_topk(df, ["hash"], k=10, mode="all").collect()
+    b = bm25_topk(df, ["hash"], k=10, mode="any").collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == \
+           [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_bm25_bad_mode_rejected(spark):
+    import pytest
+    with pytest.raises(ValueError):
+        bm25_topk(_docs(spark, [(1, "x")]), ["x"], mode="or")
