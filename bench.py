@@ -78,6 +78,7 @@ HEADLINE = [
     "relevance_tf_sum",
     "bm25_topk",
     "bm25_paged",
+    "bm25_topk_any",
     "per_source_stats",
     "dedup_exact_summary",
     "dedup_minhash_pairs",
@@ -85,6 +86,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash64_pairs",
     "decontam_keep",
+    "curate_keep",
     "knn_cosine",
     "lsh_ann",
     "lsh_ann_multiprobe",

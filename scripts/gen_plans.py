@@ -126,6 +126,18 @@ def main() -> None:
                  "SPARK_GRAFT_EMB",
                  "/root/testdata/sf0.001/embeddings.parquet")),
              dim=64, n_planes=8, threshold=0.35, n_plane_sets=3))),
+        ("Curation funnel — quality/lang/content gates as one row-local "
+         "codegen projection, then EXACTLY ONE exchange (the md5 "
+         "keep-first groupBy; only the 32-char signature + two longs "
+         "shuffle, never the text), split assignment recomputed "
+         "row-locally from the surviving doc_id",
+         plan(spark, __import__("searchengine_spark.operators.curate",
+                                fromlist=["curate_corpus"])
+              .curate_corpus(docs, min_tokens=30))),
+        ("Disjunctive BM25 (mode=\"any\") — same one-groupBy narrow "
+         "per-doc aggregation as the conjunctive flagship, OR filter "
+         "post-aggregation, TakeOrderedAndProject top-k",
+         plan(spark, bm25_topk(docs, e.Q_AND, k=10, mode="any"))),
     ]
     out = ["# Physical plans (generated)",
            "",

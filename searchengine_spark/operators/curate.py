@@ -71,6 +71,13 @@ def curate_corpus(df: DataFrame, min_tokens: int = 10,
       5. split: deterministic md5-hash assignment (sampling.hash_split
          semantics, default 90/5/5) — stable across runs and engines
 
+    The keep-first is ONE partial-aggregatable groupBy on the 32-char
+    signature — no join-back: identical text implies identical n_tokens,
+    so min(n_tokens) over the group IS the kept doc's value, and the
+    split hash is recomputed from the surviving doc_id row-locally.
+    That makes the whole funnel exactly one exchange end-to-end
+    (plan-asserted in tests/test_physical_plans.py).
+
     The stop_ratio comparison is exact in IEEE double (one division on
     both engines), so the DuckDB oracle agrees row-for-row."""
     weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
@@ -79,8 +86,8 @@ def curate_corpus(df: DataFrame, min_tokens: int = 10,
                     & (F.col("stop_ratio") > F.lit(min_stop_ratio))
                     & ~F.col("drop_doc")))
     kept = (surv.groupBy(F.md5("text").alias("_sig"))
-                .agg(F.min("doc_id").alias("doc_id"))
-                .select("doc_id"))
+                .agg(F.min("doc_id").alias("doc_id"),
+                     F.min("n_tokens").alias("n_tokens")))
     h = F.conv(F.substring(
         F.md5(F.concat(F.col("doc_id").cast("string"),
                        F.lit(":" + salt))), 1, 15), 16, 10).cast("long")
@@ -89,8 +96,7 @@ def curate_corpus(df: DataFrame, min_tokens: int = 10,
         cond = h < F.lit(bound)
         expr = F.when(cond, F.lit(name)) if expr is None \
             else expr.when(cond, F.lit(name))
-    return (surv.join(kept, "doc_id")
-                .select("doc_id", "n_tokens", expr.alias("split")))
+    return kept.select("doc_id", "n_tokens", expr.alias("split"))
 
 
 def curation_funnel_stats(df: DataFrame, min_tokens: int = 10,

@@ -92,3 +92,37 @@ def test_site_stats_frame_is_join_free_on_sited_postings(built_engine):
     assert not schema_lines, plan  # no scan drags tf/dl/doc_id columns
     # no join keyed on doc_id anywhere (the legacy fact-table join shape)
     assert "doc_id" not in plan, plan
+
+
+def _pdocs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_curation_signals_zero_shuffle(spark):
+    """The funnel's signal projection (quality/lang/content gates) is one
+    row-local codegen stage — no Exchange anywhere in the plan."""
+    from searchengine_spark.operators.curate import curation_signals
+    plan = _plan(curation_signals(_pdocs(spark)))
+    assert "Exchange" not in plan, plan
+
+
+def test_curate_corpus_exactly_one_exchange(spark):
+    """The WHOLE curation funnel (gates -> exact dedup keep-first ->
+    split) costs exactly one exchange: the md5-signature groupBy. The
+    document text itself never shuffles (only the 32-char signature +
+    two longs cross the wire)."""
+    from searchengine_spark.operators.curate import curate_corpus
+    plan = _plan(curate_corpus(_pdocs(spark), min_tokens=30))
+    assert plan.count("Exchange") == 1, plan
+    exch = [ln for ln in plan.splitlines() if "Exchange" in ln][0]
+    assert "hashpartitioning" in exch, exch
+    assert "text" not in exch, exch  # text stays in its input partition
+
+
+def test_bm25_any_plans_take_ordered(spark):
+    """Disjunctive BM25 keeps the conjunctive path's bounded top-k plan
+    (TakeOrderedAndProject = per-partition min-heap + driver merge)."""
+    from searchengine_spark.operators.relational_search import bm25_topk
+    plan = _plan(bm25_topk(_pdocs(spark), ["hash", "merge"], k=10,
+                           mode="any"))
+    assert "TakeOrderedAndProject" in plan, plan
