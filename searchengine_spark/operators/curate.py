@@ -106,19 +106,19 @@ def curation_funnel_stats(df: DataFrame, min_tokens: int = 10,
     """One row of funnel telemetry — how many documents each gate removes:
     (n_input, n_after_quality, n_after_lang, n_after_content, n_kept).
     The counts are cumulative left-to-right in the gate order
-    curate_corpus applies, and the whole report is ONE aggregation over
-    the signal projection plus the dedup keep count."""
+    curate_corpus applies. The whole report is ONE aggregation over the
+    signal projection — the dedup keep count rides it as a conditional
+    count-distinct (survivor signatures only), so the telemetry costs a
+    single scan and a single (partial→final) aggregate."""
     sig = curation_signals(df, text_col, id_col)
     q = F.col("n_tokens") >= F.lit(min_tokens)
     lng = F.col("stop_ratio") > F.lit(min_stop_ratio)
     c = ~F.col("drop_doc")
-    gates = sig.agg(
+    return sig.agg(
         F.count("*").cast("long").alias("n_input"),
         F.sum(q.cast("long")).alias("n_after_quality"),
         F.sum((q & lng).cast("long")).alias("n_after_lang"),
         F.sum((q & lng & c).cast("long")).alias("n_after_content"),
+        F.count_distinct(F.when(q & lng & c, F.md5("text")))
+         .cast("long").alias("n_kept"),
     )
-    kept = (sig.filter(q & lng & c)
-            .agg(F.count_distinct(F.md5("text")).cast("long")
-                 .alias("n_kept")))
-    return gates.crossJoin(kept)
