@@ -152,3 +152,65 @@ def test_stream_index_drains_and_serves(spark, tmp_path):
     q.awaitTermination(300)
     assert eng.statistics()["statistics"]["total"]["pages"] == 90
     assert eng.search("леопард обитает")["result"] is True
+
+
+def test_streaming_dedup_first_cross_batch(spark, tmp_path):
+    """applyInPandasWithState first-occurrence dedup: batch 1 emits one
+    row per distinct text (min doc_id kept inside the batch); batch 2
+    re-sending a seen text emits nothing for it, a genuinely new text
+    emits — the seen-set is cross-batch state."""
+    from searchengine_spark.streaming.stateful import streaming_dedup_first
+
+    src = tmp_path / "dedup_src"
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta"), (3, "alpha beta"), (5, "gamma delta")], schema)
+    b2 = spark.createDataFrame(
+        [(99, "alpha beta"), (7, "epsilon zeta")], schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (streaming_dedup_first(stream).writeStream
+         .format("memory").queryName("dedup_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["doc_id"], r["text"]) for r in
+                 spark.sql("SELECT * FROM dedup_stream").collect())
+    # 3 (not 10) keeps "alpha beta"; 99's resend suppressed; 5 and 7 kept
+    assert got == [(3, "alpha beta"), (5, "gamma delta"),
+                   (7, "epsilon zeta")]
+
+
+def test_streaming_dedup_first_restart_keeps_state(spark, tmp_path):
+    """The seen-set survives a stop/restart via the checkpoint: a
+    duplicate arriving in a NEW query run is still suppressed."""
+    from searchengine_spark.streaming.stateful import streaming_dedup_first
+
+    src = tmp_path / "dedup_src2"
+    ckpt = str(tmp_path / "dedup_ckpt2")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, "one two"), (2, "three four")], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    emitted: list[int] = []
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (streaming_dedup_first(stream).writeStream
+             .foreachBatch(lambda df, _id: emitted.extend(
+                 r["doc_id"] for r in df.collect()))
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(emitted) == [1, 2]
+    # second run from the same checkpoint: one dup + one new text
+    spark.createDataFrame([(9, "one two"), (4, "five six")], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    emitted.clear()
+    run()
+    assert sorted(emitted) == [4]  # dup of "one two" stays suppressed
