@@ -506,6 +506,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curation_funnel_stats(_docs(spark, sf), min_tokens=30,
                                      min_stop_ratio=0.05)
 
+    def q_quality_top_pct(spark, sf):  # per-language top-20% selection
+        from searchengine_spark.operators.curate import (
+            quality_percentile_filter)
+        return quality_percentile_filter(_docs(spark, sf), top_frac=0.2)
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_df_cf": q_term_df_cf,
@@ -565,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_stats": q_events_props_stats,
         "curate_keep": q_curate_keep,
         "curate_funnel": q_curate_funnel,
+        "quality_top_pct": q_quality_top_pct,
     }
 
 
@@ -1289,6 +1295,17 @@ kept AS (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_kept
          FROM sig
          WHERE n_tokens >= 30 AND stop_ratio > 0.05 AND NOT drop_doc)
 SELECT * FROM gates, kept"""
+    sqls["quality_top_pct"] = """
+WITH sig AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+  FROM documents),
+r AS (SELECT doc_id, n_tokens,
+        percent_rank() OVER (PARTITION BY lang
+                             ORDER BY n_tokens ASC, doc_id ASC) AS pr
+      FROM sig)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM r WHERE pr >= 0.8"""
     # the materialized-index probes are result-identical to the ad-hoc
     # multiprobe recomputes by construction — same oracle SQL
     sqls["lsh_ann_indexed"] = sqls["lsh_ann_multiprobe"]

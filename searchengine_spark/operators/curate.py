@@ -99,6 +99,40 @@ def curate_corpus(df: DataFrame, min_tokens: int = 10,
     return kept.select("doc_id", "n_tokens", expr.alias("split"))
 
 
+def quality_percentile_filter(df: DataFrame, top_frac: float = 0.2,
+                              stratum_col: str = "lang",
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens) — the top `top_frac` fraction of documents by
+    token count WITHIN each stratum (per-language quality selection: an
+    absolute threshold over mixed languages keeps only the verbose
+    languages; ranking within the stratum does not).
+
+    Membership is by percent_rank ≥ 1 − top_frac over a fully
+    deterministic (n_tokens, doc_id) order — rank arithmetic
+    (rank−1)/(n−1) is identical in any SQL engine, so the DuckDB oracle
+    agrees row-for-row, ties included.
+
+    Scale note: a window is a per-stratum sort — exact and fine while a
+    stratum fits a shuffle (strata are languages here, so partitions are
+    few and huge: salt or pre-aggregate to a (n_tokens, count) histogram
+    per stratum and derive the threshold from its cumulative sum when a
+    single stratum outgrows the sort). At 100 TB the histogram route
+    shrinks the shuffle from one row per DOCUMENT to one row per
+    distinct token COUNT."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    sig = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(stratum_col).alias("_stratum"),
+                    F.size(toks).cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("_stratum")
+         .orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc()))
+    return (sig.withColumn("_pr", F.percent_rank().over(w))
+               .filter(F.col("_pr") >= F.lit(1.0 - top_frac))
+               .select("doc_id", "n_tokens"))
+
+
 def curation_funnel_stats(df: DataFrame, min_tokens: int = 10,
                           min_stop_ratio: float = 0.05,
                           text_col: str = "text",

@@ -95,3 +95,33 @@ def test_bm25_bad_mode_rejected(spark):
     import pytest
     with pytest.raises(ValueError):
         bm25_topk(_docs(spark, [(1, "x")]), ["x"], mode="or")
+
+
+def test_quality_percentile_filter_per_stratum(spark):
+    """Top-frac selection ranks WITHIN each stratum: the short-but-best
+    doc of a short language survives while a longer doc of a verbose
+    language does not."""
+    from searchengine_spark.operators.curate import quality_percentile_filter
+    rows = [(i, "w " * n, lang) for i, (n, lang) in enumerate([
+        (10, "en"), (20, "en"), (30, "en"), (40, "en"), (50, "en"),
+        (2, "de"), (4, "de")])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sorted(r["doc_id"] for r in
+                 quality_percentile_filter(df, top_frac=0.25).collect())
+    # en: pr over 5 docs = 0,.25,.5,.75,1 → keep pr>=0.75 → docs 3,4
+    # de: pr over 2 docs = 0,1 → keep doc 6 (4 tokens > 2 tokens)
+    assert out == [3, 4, 6]
+
+
+def test_quality_percentile_filter_tie_determinism(spark):
+    """Equal token counts break by doc_id — the ranking (and therefore
+    membership) is fully deterministic across runs and engines."""
+    from searchengine_spark.operators.curate import quality_percentile_filter
+    df = spark.createDataFrame([(i, "a b c", "en") for i in range(4)],
+                               "doc_id long, text string, lang string")
+    a = sorted(r["doc_id"] for r in
+               quality_percentile_filter(df, top_frac=0.5).collect())
+    b = sorted(r["doc_id"] for r in
+               quality_percentile_filter(df, top_frac=0.5).collect())
+    # pr = 0, 1/3, 2/3, 1 by doc_id order → keep pr >= 0.5 → docs 2, 3
+    assert a == b == [2, 3]
