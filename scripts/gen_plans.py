@@ -138,6 +138,13 @@ def main() -> None:
          "per-doc aggregation as the conjunctive flagship, OR filter "
          "post-aggregation, TakeOrderedAndProject top-k",
          plan(spark, bm25_topk(docs, e.Q_AND, k=10, mode="any"))),
+        ("Per-stratum quality percentile — row-local token count, one "
+         "exchange on the stratum key, in-partition sort + running "
+         "percent_rank window; the text column is pruned before the "
+         "exchange (only (doc_id, stratum, n_tokens) shuffles)",
+         plan(spark, __import__("searchengine_spark.operators.curate",
+                                fromlist=["quality_percentile_filter"])
+              .quality_percentile_filter(docs, top_frac=0.2))),
     ]
     out = ["# Physical plans (generated)",
            "",
