@@ -379,16 +379,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_ivf_ann_trained(spark, sf):
         # k-means-trained quantizer (operators/similarity.py::
-        # train_ivf_centroids): data-dependent centroids can't be embedded
-        # as literals in a static oracle SQL string, so this entry has NO
-        # oracle_sql — the driver records the weaker rows-only check and
-        # tests/test_ann_index.py pins determinism, sidecar round-trip,
-        # list balance vs the fixed quantizer, and a recall floor vs
-        # brute force. The fixed-quantizer ivf_ann_indexed entry keeps
-        # its full hash oracle for the probe machinery itself.
+        # train_ivf_centroids) run in its EXACT-EQUIVALENCE configuration:
+        # probing all n_centroids inverted lists makes the probe's scan
+        # the whole (trained, partitioned, sidecar-routed) index, so the
+        # result must equal brute-force kNN row-for-row — which the static
+        # knn_cosine oracle SQL mirrors verbatim. That gives the trained
+        # build+route+scan path a full hash oracle despite the centroids
+        # being data-dependent (they cancel out of the top-k at full
+        # probe). Partial-probe recall/list-balance/sidecar floors for the
+        # trained quantizer live in tests/test_ann_index.py.
         qv = _query_vec(spark, sf)
         idx = _ann_index(spark, sf, "ivf_trained")
-        return idx.ann_topk(qv, k=ANN_K, n_probe=IVF_N_PROBE, exclude_id=0)
+        return idx.ann_topk(qv, k=KNN_K, n_probe=idx.n_centroids,
+                            exclude_id=0)
 
     def q_ivfpq_ann(spark, sf):
         # IVF-PQ (operators/similarity.py::IvfPqIndex): vectors stored as
@@ -396,15 +399,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partitioned layout (16× smaller than raw float32); probes score
         # with Catalyst-only ADC lookup tables and re-rank the top
         # k·rerank_factor candidates exactly against the raw table.
-        # Trained codebooks are data-dependent (no static oracle SQL) —
-        # rows-only driver check, like ivf_ann_trained;
-        # tests/test_ann_index.py pins determinism, the sidecar commit
-        # marker, partition pruning, compression layout, and recall floors
-        # (planted 12/12; fixture floors under the measured 0.6/1.0).
+        # EXACT-EQUIVALENCE configuration: probe all lists AND size the
+        # rerank pool to cover the whole table (r = k·⌈n/k⌉ ≥ n), so the
+        # exact-rerank stage re-scores every vector and the output equals
+        # brute-force kNN row-for-row — the knn_cosine oracle SQL applies
+        # verbatim even though the trained codebooks are data-dependent.
+        # Partial-probe/partial-rerank recall floors, determinism, the
+        # sidecar commit marker, compression layout, and partition pruning
+        # are pinned in tests/test_ann_index.py.
         qv = _query_vec(spark, sf)
         idx = _ann_index(spark, sf, "ivfpq")
-        return idx.ann_topk(qv, k=ANN_K, n_probe=IVF_N_PROBE, exclude_id=0,
-                            rerank_df=_emb(spark, sf))
+        n = _emb(spark, sf).count()
+        return idx.ann_topk(qv, k=KNN_K, n_probe=idx.n_centroids,
+                            exclude_id=0, rerank_df=_emb(spark, sf),
+                            rerank_factor=-(-n // KNN_K))
 
     def q_emb_neardup(spark, sf):
         # fixture has no planted near-dup vectors (max pairwise cos ≈ 0.48);
@@ -1310,4 +1318,10 @@ FROM r WHERE pr >= 0.8"""
     # multiprobe recomputes by construction — same oracle SQL
     sqls["lsh_ann_indexed"] = sqls["lsh_ann_multiprobe"]
     sqls["ivf_ann_indexed"] = sqls["ivf_ann_multiprobe"]
+    # trained-quantizer entries run in their exact-equivalence
+    # configuration (all lists probed / full rerank pool), so the
+    # brute-force kNN oracle mirrors them row-for-row — the trained
+    # centroids/codebooks cancel out of the top-k at full probe
+    sqls["ivf_ann_trained"] = sqls["knn_cosine"]
+    sqls["ivfpq_ann"] = sqls["knn_cosine"]
     return sqls

@@ -51,11 +51,13 @@ QUERY_NAMES = sorted(entrymod.queries().keys())
 
 
 # Entries whose results are data-dependent in a way a STATIC oracle SQL
-# string cannot mirror (trained k-means centroids) — the driver records
-# its weaker rows-only check for these; here we assert run-twice
-# determinism + schema instead, and dedicated tests pin their semantics
-# (tests/test_ann_index.py for the trained quantizer).
-NO_ORACLE = {"ivf_ann_trained", "ivfpq_ann"}
+# string cannot mirror — EMPTY since round 5: the trained-quantizer
+# entries (ivf_ann_trained, ivfpq_ann) now run in their exact-equivalence
+# configuration (all lists probed / full rerank pool), where the trained
+# centroids cancel out of the top-k and the brute-force kNN oracle
+# applies verbatim. Kept as a mechanism for future genuinely
+# non-SQL-expressible entries.
+NO_ORACLE: set = set()
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
