@@ -1306,7 +1306,8 @@ SELECT * FROM gates, kept"""
     sqls["quality_top_pct"] = """
 WITH sig AS (
   SELECT doc_id, lang,
-    len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+    len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> ''))
+      AS n_tokens
   FROM documents),
 r AS (SELECT doc_id, n_tokens,
         percent_rank() OVER (PARTITION BY lang

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sampling import split_thresholds, HASH_SPACE
+from .sampling import split_thresholds
 from .textstats import EN_STOPWORDS
 
 
@@ -99,38 +99,130 @@ def curate_corpus(df: DataFrame, min_tokens: int = 10,
     return kept.select("doc_id", "n_tokens", expr.alias("split"))
 
 
+def _percentile_signals(df: DataFrame, stratum_col: str, text_col: str,
+                        id_col: str) -> DataFrame:
+    """(doc_id, _stratum, n_tokens) — NULL text counts as 0 tokens (the
+    coalesce keeps ordering engine-independent: Spark windows sort NULLS
+    FIRST asc while DuckDB's percent_rank defaults NULLS LAST, so a NULL
+    that survived to the sort would rank opposite ways)."""
+    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                    lambda w: w != "")
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.col(stratum_col).alias("_stratum"),
+                     F.size(toks).cast("long").alias("n_tokens"))
+
+
 def quality_percentile_filter(df: DataFrame, top_frac: float = 0.2,
                               stratum_col: str = "lang",
                               text_col: str = "text",
-                              id_col: str = "doc_id") -> DataFrame:
+                              id_col: str = "doc_id",
+                              method: str = "auto",
+                              max_sort_rows: int = 4_000_000) -> DataFrame:
     """(doc_id, n_tokens) — the top `top_frac` fraction of documents by
     token count WITHIN each stratum (per-language quality selection: an
     absolute threshold over mixed languages keeps only the verbose
-    languages; ranking within the stratum does not).
+    languages; ranking within the stratum does not). NULL text counts as
+    0 tokens (see _percentile_signals).
 
     Membership is by percent_rank ≥ 1 − top_frac over a fully
     deterministic (n_tokens, doc_id) order — rank arithmetic
     (rank−1)/(n−1) is identical in any SQL engine, so the DuckDB oracle
-    agrees row-for-row, ties included.
+    agrees row-for-row, ties included. Granularity corollary (by design,
+    matching percent_rank in every engine): a SINGLETON stratum has
+    percent_rank 0, so its only document is kept only when
+    top_frac ≥ 1 — tiny strata are under-selected by up to one rank of
+    granularity. Callers that want at-least-one-kept should ceil at the
+    call site (e.g. union the per-stratum max back in).
 
-    Scale note: a window is a per-stratum sort — exact and fine while a
-    stratum fits a shuffle (strata are languages here, so partitions are
-    few and huge: salt or pre-aggregate to a (n_tokens, count) histogram
-    per stratum and derive the threshold from its cumulative sum when a
-    single stratum outgrows the sort). At 100 TB the histogram route
-    shrinks the shuffle from one row per DOCUMENT to one row per
-    distinct token COUNT."""
+    method:
+      "window"     — per-stratum percent_rank sort. Exact; one shuffle
+                     sorting every row of the stratum. Right while every
+                     stratum fits a sort.
+      "histogram"  — the 100-TB route: pre-aggregate each stratum to a
+                     (n_tokens → count) histogram (one partial-aggregated
+                     shuffle of histogram-sized keys), derive the kept
+                     COUNT per stratum from the histogram's cumulative
+                     sum with the same (rank−1)/(n−1) double comparison
+                     percent_rank uses, then keep rows by broadcast-join
+                     membership: values strictly inside the cut pass with
+                     a row-local filter; only the single boundary VALUE's
+                     rows (per stratum) go through a doc_id window to
+                     resolve the tie split. Result-identical to "window"
+                     (ties, NULLs, singletons included — equivalence is
+                     property-tested); no full-stratum sort anywhere —
+                     the only row-granular shuffle covers boundary-value
+                     docs.
+      "auto"       — "histogram" when the largest stratum exceeds
+                     max_sort_rows (one cheap count agg), else "window".
+    """
     from pyspark.sql import Window
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    sig = df.select(F.col(id_col).alias("doc_id"),
-                    F.col(stratum_col).alias("_stratum"),
-                    F.size(toks).cast("long").alias("n_tokens"))
-    w = (Window.partitionBy("_stratum")
-         .orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc()))
-    return (sig.withColumn("_pr", F.percent_rank().over(w))
-               .filter(F.col("_pr") >= F.lit(1.0 - top_frac))
-               .select("doc_id", "n_tokens"))
+    sig = _percentile_signals(df, stratum_col, text_col, id_col)
+    if method == "auto":
+        biggest = (sig.groupBy("_stratum").count()
+                   .agg(F.max("count")).collect()[0][0]) or 0
+        method = "histogram" if biggest > max_sort_rows else "window"
+    if method == "window":
+        w = (Window.partitionBy("_stratum")
+             .orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc()))
+        return (sig.withColumn("_pr", F.percent_rank().over(w))
+                   .filter(F.col("_pr") >= F.lit(1.0 - top_frac))
+                   .select("doc_id", "n_tokens"))
+    if method != "histogram":
+        raise ValueError(f"unknown method {method!r}")
+
+    # --- histogram route ---------------------------------------------------
+    # Desc-rank view: doc with asc-rank r has desc-rank d = n−r+1 and
+    # percent_rank (r−1)/(n−1) = (n−d)/(n−1); keep d ≤ K where K is the
+    # largest d passing the SAME double-division comparison the window
+    # route evaluates. K is found from a closed-form floor guess adjusted
+    # ±1 against the exact predicate (the guess is within one of the true
+    # boundary; the predicate, not the guess, decides).
+    q = 1.0 - top_frac
+    hist = sig.groupBy("_stratum", "n_tokens").agg(F.count("*").alias("cnt"))
+    wdesc = (Window.partitionBy("_stratum")
+             .orderBy(F.col("n_tokens").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("_stratum")
+    n = F.col("n")
+    denom = (n - 1).cast("double")
+
+    def _pred(d):
+        # percent_rank(d) ≥ q, evaluated with the window route's exact
+        # double division; n == 1 ⇒ percent_rank is defined as 0
+        return F.when(n > 1, (n - d).cast("double") / denom >= F.lit(q)) \
+                .otherwise(F.lit(q <= 0.0))
+
+    guess = F.floor(n.cast("double") - F.lit(q) * (n - 1).cast("double")) \
+             .cast("long")
+    k_col = (F.when(_pred(guess + 1), guess + 1)
+              .when(_pred(guess), guess)
+              .when(_pred(guess - 1), guess - 1)
+              .otherwise(F.lit(0)))
+    h = (hist
+         .withColumn("cum", F.sum("cnt").over(wdesc))
+         .withColumn("n", F.sum("cnt").over(wall))
+         .withColumn("k", F.greatest(F.lit(0), F.least(k_col, n)))
+         .withColumn("cum_before", F.col("cum") - F.col("cnt")))
+    # values fully inside the cut: every doc with this n_tokens passes
+    full_vals = (h.filter(F.col("cum") <= F.col("k"))
+                 .select("_stratum", "n_tokens"))
+    # the (single per stratum) boundary value: keep its t_keep largest
+    # doc_ids — asc order ties break doc_id asc, so the kept tail of the
+    # asc order is the doc_id-DESC head of the tied group
+    boundary = (h.filter((F.col("cum_before") < F.col("k"))
+                         & (F.col("k") < F.col("cum")))
+                .select("_stratum", "n_tokens",
+                        (F.col("k") - F.col("cum_before")).alias("t_keep")))
+    kept_full = sig.join(F.broadcast(full_vals), ["_stratum", "n_tokens"],
+                         "left_semi")
+    bnd = sig.join(F.broadcast(boundary), ["_stratum", "n_tokens"])
+    wb = (Window.partitionBy("_stratum", "n_tokens")
+          .orderBy(F.col("doc_id").desc()))
+    bnd_kept = (bnd.withColumn("_rn", F.row_number().over(wb))
+                .filter(F.col("_rn") <= F.col("t_keep")))
+    return (kept_full.select("doc_id", "n_tokens")
+            .unionByName(bnd_kept.select("doc_id", "n_tokens")))
 
 
 def curation_funnel_stats(df: DataFrame, min_tokens: int = 10,

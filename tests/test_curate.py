@@ -125,3 +125,85 @@ def test_quality_percentile_filter_tie_determinism(spark):
                quality_percentile_filter(df, top_frac=0.5).collect())
     # pr = 0, 1/3, 2/3, 1 by doc_id order → keep pr >= 0.5 → docs 2, 3
     assert a == b == [2, 3]
+
+
+# --- histogram (scale) route: exact equivalence with the window route -------
+
+def _pct_rows(spark, rows, top_frac, method):
+    from searchengine_spark.operators.curate import quality_percentile_filter
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = quality_percentile_filter(df, top_frac=top_frac, method=method)
+    return sorted((r["doc_id"], r["n_tokens"]) for r in out.collect())
+
+
+def _tie_heavy_corpus():
+    """Strata engineered to hit every histogram-route branch: heavy ties
+    straddling the cut, a singleton stratum, an all-tied stratum, a NULL
+    text, and a two-doc stratum."""
+    import random
+    rng = random.Random(7)
+    rows = []
+    i = 0
+    for _ in range(40):                       # en: counts drawn from {1..5}
+        rows.append((i, "w " * rng.randint(1, 5), "en")); i += 1
+    for _ in range(9):                        # de: all tied
+        rows.append((i, "x y z", "de")); i += 1
+    rows.append((i, "only doc here", "fr")); i += 1   # singleton stratum
+    rows.append((i, None, "en")); i += 1              # NULL text → 0 tokens
+    rows.append((i, "a b", "it")); i += 1             # two-doc stratum
+    rows.append((i, "a b c d", "it")); i += 1
+    return rows
+
+
+import pytest
+
+
+@pytest.mark.parametrize("top_frac", [0.2, 0.25, 0.33, 0.5, 0.8, 1.0, 0.01])
+def test_percentile_histogram_equals_window(spark, top_frac):
+    rows = _tie_heavy_corpus()
+    w = _pct_rows(spark, rows, top_frac, "window")
+    h = _pct_rows(spark, rows, top_frac, "histogram")
+    assert h == w, (top_frac, len(w), len(h))
+
+
+def test_percentile_auto_routes_by_stratum_size(spark):
+    """auto = histogram when the largest stratum exceeds max_sort_rows;
+    both routes agree on the result either way."""
+    from searchengine_spark.operators.curate import quality_percentile_filter
+    rows = _tie_heavy_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    small_bound = quality_percentile_filter(df, top_frac=0.5, method="auto",
+                                            max_sort_rows=5)
+    big_bound = quality_percentile_filter(df, top_frac=0.5, method="auto",
+                                          max_sort_rows=10**6)
+    a = sorted(r["doc_id"] for r in small_bound.collect())
+    b = sorted(r["doc_id"] for r in big_bound.collect())
+    assert a == b and len(a) > 0
+
+
+def test_percentile_singleton_stratum_granularity(spark):
+    """Documented percent_rank granularity: a singleton stratum's doc is
+    kept only at top_frac >= 1 — identically on both routes."""
+    rows = [(1, "solo words here", "fr")]
+    for f, expect in ((0.5, []), (1.0, [(1, 3)])):
+        assert _pct_rows(spark, rows, f, "window") == expect
+        assert _pct_rows(spark, rows, f, "histogram") == expect
+
+
+def test_percentile_null_text_counts_zero(spark):
+    """NULL text ranks as 0 tokens (lowest), not NULLS-FIRST/LAST
+    engine-dependent — it is dropped for any top_frac < 1."""
+    rows = [(1, None, "en"), (2, "a b c", "en"), (3, "a b c d e", "en")]
+    for method in ("window", "histogram"):
+        out = _pct_rows(spark, rows, 0.5, method)
+        assert out == [(2, 3), (3, 5)]
+        full = _pct_rows(spark, rows, 1.0, method)
+        assert (1, 0) in full
+
+
+def test_percentile_bad_method_rejected(spark):
+    from searchengine_spark.operators.curate import quality_percentile_filter
+    df = spark.createDataFrame([(1, "x", "en")],
+                               "doc_id long, text string, lang string")
+    with pytest.raises(ValueError):
+        quality_percentile_filter(df, method="quantile")
