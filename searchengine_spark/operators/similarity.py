@@ -426,22 +426,54 @@ class IvfPqIndex:
     def build(self, df: DataFrame, vec_col: str = "embedding",
               id_col: str = "vec_id", train_coarse: bool = True,
               train_iter: int = 4,
-              sample_mod: int | None = None) -> "IvfPqIndex":
+              sample_mod: int | None = None,
+              coarse: list[list[float]] | None = None,
+              codebooks: list[list[list[float]]] | None = None
+              ) -> "IvfPqIndex":
+        """Train (or accept pre-trained) quantizers, encode df, overwrite
+        the index, commit the sidecar. Explicit coarse=/codebooks= skip
+        training — the FAISS "clone the trained quantizer" path, used by
+        the append-equivalence tests and by rebuilds that must stay
+        code-compatible with an existing index."""
         import json
         import os
 
-        self.coarse = (train_ivf_centroids(
-            df, self.dim, self.n_centroids, n_iter=train_iter,
-            vec_col=vec_col, id_col=id_col, sample_mod=sample_mod)
-            if train_coarse
-            else _default_centroids(self.dim, self.n_centroids))
-        self.codebooks = train_pq_codebooks(
-            df, self.dim, self.m, self.ks, n_iter=train_iter,
-            vec_col=vec_col, id_col=id_col, coarse=self.coarse,
-            sample_mod=sample_mod)
-        sub = self.dim // self.m
-        m, coarse, books = self.m, self.coarse, self.codebooks
+        if coarse is not None:
+            self.coarse = coarse
+        else:
+            self.coarse = (train_ivf_centroids(
+                df, self.dim, self.n_centroids, n_iter=train_iter,
+                vec_col=vec_col, id_col=id_col, sample_mod=sample_mod)
+                if train_coarse
+                else _default_centroids(self.dim, self.n_centroids))
+        self.codebooks = codebooks if codebooks is not None \
+            else train_pq_codebooks(
+                df, self.dim, self.m, self.ks, n_iter=train_iter,
+                vec_col=vec_col, id_col=id_col, coarse=self.coarse,
+                sample_mod=sample_mod)
+        self._encode_write(df, vec_col, id_col, mode="overwrite")
+        tmp = os.path.join(self.path, "_pq_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"coarse": self.coarse, "codebooks": self.codebooks,
+                       "dim": self.dim, "m": self.m, "ks": self.ks}, f)
+        os.replace(tmp, os.path.join(self.path, "_pq_meta.json"))
+        return self
 
+    def append(self, df: DataFrame, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> "IvfPqIndex":
+        """Encode new vectors with the index's FROZEN quantizers and
+        append them in place (partitioned append, no rebuild) — the FAISS
+        `add` path: codebooks never retrain on append, so appended codes
+        are bit-identical to what a frozen-quantizer rebuild over the
+        union would produce (pytest pins append-then-probe ≡
+        rebuild-probe). Refuses without a committed sidecar, exactly like
+        probes do — appending to a half-built index would orphan rows."""
+        self._meta()  # loads + commits-checks the sidecar (raises if none)
+        self._encode_write(df, vec_col, id_col, mode="append")
+        return self
+
+    def _encode_write(self, df: DataFrame, vec_col: str, id_col: str,
+                      mode: str) -> None:
         # encode pass: ONE Arrow-batched numpy kernel over the full table
         # (coarse argmax, residual, m per-subspace argmins, norm — all
         # matrix ops per batch, no per-row Python). A pure-Catalyst encode
@@ -450,6 +482,9 @@ class IvfPqIndex:
         # canonicalization stack overflow at m=8, ks=16, dim=64. This is
         # exactly the "vectorized Arrow beats expression blowup" boundary
         # the tokenizer measurement (BENCH/BASELINE.md) pinned.
+        sub = self.dim // self.m
+        m, coarse, books = self.m, self.coarse, self.codebooks
+
         def encode(batches):
             # self-contained closure (no module references): cloudpickle
             # ships it by value, so the kernel runs on executors that never
@@ -486,14 +521,8 @@ class IvfPqIndex:
            .mapInArrow(encode, "vec_id long, centroid int, "
                                "codes array<tinyint>, norm double")
            .repartition("centroid")
-           .write.mode("overwrite").partitionBy("centroid")
+           .write.mode(mode).partitionBy("centroid")
            .parquet(self.path))
-        tmp = os.path.join(self.path, "_pq_meta.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"coarse": self.coarse, "codebooks": self.codebooks,
-                       "dim": self.dim, "m": self.m, "ks": self.ks}, f)
-        os.replace(tmp, os.path.join(self.path, "_pq_meta.json"))
-        return self
 
     def _meta(self) -> tuple[list[list[float]], list[list[list[float]]]]:
         if self.coarse is not None and self.codebooks is not None:
@@ -508,6 +537,13 @@ class IvfPqIndex:
                 "the build did not complete. Rebuild the index.")
         with open(p) as f:
             meta = json.load(f)
+        on_disk = {k: meta[k] for k in ("dim", "m", "ks")}
+        mine = {"dim": self.dim, "m": self.m, "ks": self.ks}
+        if on_disk != mine:
+            raise ValueError(
+                f"IVF-PQ index params {on_disk} != requested {mine}: codes "
+                "are incomparable. Rebuild or reopen with the on-disk "
+                "parameters.")
         self.coarse, self.codebooks = meta["coarse"], meta["codebooks"]
         return self.coarse, self.codebooks
 

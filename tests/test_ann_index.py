@@ -433,3 +433,56 @@ def test_ivfpq_refuses_probe_without_sidecar(spark, emb, query_vec,
     fresh = IvfPqIndex(spark, path, dim=64, m=16)  # reopened, no memory
     with pytest.raises(ValueError, match="sidecar"):
         fresh.ann_topk(query_vec, k=5)
+
+
+def test_ivfpq_append_equals_frozen_rebuild(spark, emb, query_vec,
+                                            tmp_path_factory):
+    """The FAISS `add` contract: append encodes new vectors with the
+    index's frozen quantizers, so build(A)+append(B) is byte-identical
+    (codes, centroids, norms) to a frozen-quantizer rebuild over A∪B —
+    and probes agree row-for-row."""
+    from searchengine_spark.operators.similarity import IvfPqIndex
+
+    a = emb.filter(F.col("vec_id") < 250)
+    b = emb.filter(F.col("vec_id") >= 250)
+    p_inc = str(tmp_path_factory.mktemp("ann") / "pq_inc")
+    p_full = str(tmp_path_factory.mktemp("ann") / "pq_full")
+    inc = IvfPqIndex(spark, p_inc, dim=64, m=16).build(a, train_iter=3)
+    inc.append(b)
+    full = IvfPqIndex(spark, p_full, dim=64, m=16).build(
+        emb, coarse=inc.coarse, codebooks=inc.codebooks)
+
+    def rows(path):
+        return sorted(
+            ((r["vec_id"], r["centroid"], list(r["codes"]), r["norm"])
+             for r in spark.read.parquet(path).collect()))
+
+    assert rows(p_inc) == rows(p_full)
+    # reopened-from-disk probe over appended index = rebuild probe
+    reopened = IvfPqIndex(spark, p_inc, dim=64, m=16)
+    got = reopened.ann_topk(query_vec, k=5, n_probe=2, exclude_id=0,
+                            rerank_df=emb).collect()
+    want = full.ann_topk(query_vec, k=5, n_probe=2, exclude_id=0,
+                         rerank_df=emb).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == \
+           [(r["vec_id"], r["cos"]) for r in want]
+
+
+def test_ivfpq_append_refuses_uncommitted_or_mismatched(spark, emb,
+                                                        tmp_path_factory):
+    """Append without a committed sidecar (half-built index) refuses, as
+    does reopening with different PQ params — appended codes would be
+    incomparable with the on-disk layout."""
+    import os
+
+    from searchengine_spark.operators.similarity import IvfPqIndex
+
+    path = str(tmp_path_factory.mktemp("ann") / "pq_apfail")
+    IvfPqIndex(spark, path, dim=64, m=16).build(emb, train_iter=2)
+    wrong_m = IvfPqIndex(spark, path, dim=64, m=8)
+    with pytest.raises(ValueError, match="incomparable"):
+        wrong_m.append(emb)
+    os.remove(os.path.join(path, "_pq_meta.json"))
+    fresh = IvfPqIndex(spark, path, dim=64, m=16)
+    with pytest.raises(ValueError, match="sidecar"):
+        fresh.append(emb)
