@@ -77,6 +77,29 @@ def _dedup_first_fn(ttl_ms: int | None):
     return fn
 
 
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+def rocksdb_state_conf(spark=None) -> dict[str, str]:
+    """Session conf routing streaming state to the RocksDB provider —
+    REQUIRED at production scale for streaming_dedup_first: the default
+    HDFS-backed store keeps every version of the state map on the
+    executor HEAP, and a web-scale seen-set is ~10^9 signatures × ~64 B
+    of (key md5 + first_doc_id + n_dups + store overhead) ≈ 64 GB per
+    full corpus — RocksDB keeps it on local SSD with a bounded block
+    cache and incremental checkpoint uploads, so state size is bounded
+    by disk, not heap. Pass spark to apply in place (affects queries
+    STARTED afterwards; set before .start()), or merge the returned dict
+    into SparkSession.builder configs."""
+    conf = {"spark.sql.streaming.stateStore.providerClass":
+            ROCKSDB_PROVIDER}
+    if spark is not None:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+    return conf
+
+
 def streaming_dedup_first(stream: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           ttl_minutes: int | None = None) -> DataFrame:
@@ -87,8 +110,12 @@ def streaming_dedup_first(stream: DataFrame, text_col: str = "text",
     (deterministic, matching exact_keep_first). ttl_minutes bounds state
     by evicting signatures idle longer than the TTL.
 
-    Run with outputMode("update") or ("append"); the checkpoint persists
-    the seen-set across restarts."""
+    Run with outputMode("update") — the operator declares update output
+    (it emits a key's row once, when first seen); starting the query
+    with append raises an AnalysisException by Spark's stateful-operator
+    rules. The checkpoint persists the seen-set across restarts. At
+    production scale start the query under rocksdb_state_conf() (above)
+    so the per-signature seen-set lives on executor disk, not heap."""
     ttl_ms = None
     timeout = GroupStateTimeout.NoTimeout
     if ttl_minutes is not None:
