@@ -355,10 +355,18 @@ def span_dedup(df: DataFrame, span_tokens: int = 12,
     salting needed), reassembly is one groupBy on doc_id. Owner identity
     is the encoded key doc_id·2^20 + pos: exact while pos < 2^20 (docs
     under ~12.6M tokens at span 12) and doc_id < 2^43 — both comfortably
-    true at 10^12-doc web scale.
+    true at 10^12-doc web scale. The pos bound is ENFORCED (one per-doc
+    comparison: an over-limit doc raises instead of silently electing a
+    wrong owner); doc_id < 2^43 remains a documented precondition of the
+    caller's id assignment (operators/doc_ids.py stays far below it).
     """
     spark_toks = F.split(F.col(text_col), " ")
-    n_sp = F.ceil(F.size(spark_toks) / F.lit(span_tokens)).cast("int")
+    n_sp_raw = F.ceil(F.size(spark_toks) / F.lit(span_tokens)).cast("int")
+    n_sp = F.when(n_sp_raw <= F.lit(1 << 20), n_sp_raw).otherwise(
+        F.raise_error(F.concat(
+            F.lit("span_dedup: doc "), F.col(id_col).cast("string"),
+            F.lit(f" has more than 2^20 spans of {span_tokens} tokens; "
+                  "the owner key doc_id*2^20+pos would collide"))))
     span_structs = F.transform(
         F.sequence(F.lit(0), n_sp - 1),
         lambda i: F.struct(

@@ -105,14 +105,20 @@ def _hex_digit_val(col):
     return F.conv(col, 16, 10).cast("int")
 
 
-def simhash64(tf: DataFrame, broadcast_signs: bool = True) -> DataFrame:
+def simhash64(tf: DataFrame, broadcast_signs: bool | None = None,
+              broadcast_vocab_limit: int = 4_000_000) -> DataFrame:
     """64-bit SimHash per document from a (doc_id, term, tf) frame, emitted
     as two 32-bit halves (simhash_hi, simhash_lo) so every engine's signed
     64-bit integer holds them without overflow.
 
-    broadcast_signs: the per-term sign table is |vocab|×64 small ints —
-    broadcast-able up to a few million distinct terms; disable for larger
-    vocabularies to fall back to a shuffle join.
+    broadcast_signs: the per-term sign table is |vocab|×(22 longs + term)
+    — broadcast-able up to a few million distinct terms, a multi-GB
+    driver/executor bomb at web-scale vocabularies (10^8+ terms). The
+    default (None) AUTO-ROUTES: one approx_count_distinct pass over the
+    term column (a partial-aggregated scan, no distinct shuffle) picks
+    broadcast below broadcast_vocab_limit and the shuffle join above it.
+    Pass True/False to skip the counting pass when the caller knows the
+    vocabulary class.
 
     Bit b (0..63) draws from bit (b%4) of the value of hex digit (b//4) of
     md5(term): weight_b(doc) = Σ tf·(2·bit−1), simhash bit = weight_b > 0.
@@ -149,6 +155,9 @@ def simhash64(tf: DataFrame, broadcast_signs: bool = True) -> DataFrame:
             acc = part if acc is None else acc + part
         mask_cols.append(acc.alias(f"m{j}"))
     term_signs = terms.select("term", *mask_cols)
+    if broadcast_signs is None:
+        vocab = tf.agg(F.approx_count_distinct("term")).collect()[0][0]
+        broadcast_signs = vocab <= broadcast_vocab_limit
     if broadcast_signs:
         term_signs = F.broadcast(term_signs)
     weighted = (tf.join(term_signs, "term")

@@ -126,3 +126,22 @@ def test_bm25_any_plans_take_ordered(spark):
     plan = _plan(bm25_topk(_pdocs(spark), ["hash", "merge"], k=10,
                            mode="any"))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_simhash64_broadcast_auto_fallback(spark):
+    """The sign-table join broadcasts only while the vocabulary fits:
+    above broadcast_vocab_limit the auto route (default) falls back to a
+    shuffle join instead of broadcasting a web-scale sign table."""
+    from searchengine_spark.operators.textstats import (simhash64,
+                                                        term_frequencies)
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{(i + 1) % 8} common") for i in range(8)],
+        "doc_id long, text string")
+    tf = term_frequencies(docs)
+    small_vocab = _plan(simhash64(tf))                 # auto: 9 terms -> bcast
+    assert "BroadcastHashJoin" in small_vocab
+    over_limit = _plan(simhash64(tf, broadcast_vocab_limit=1))
+    assert "BroadcastHashJoin" not in over_limit       # auto: falls back
+    explicit = _plan(simhash64(tf, broadcast_signs=False))
+    assert "BroadcastHashJoin" not in explicit
