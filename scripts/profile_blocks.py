@@ -72,11 +72,13 @@ def drain_kernel(path: str) -> float:
     return time.monotonic() - t0
 
 
-def drain_kernel_slice_control(path: str) -> float:
-    """Same drain, but re-doing ONLY the binary assembly with the old
-    per-block slice loop on top of the shipped kernel's outputs is not
-    separable — so this control re-encodes the varint streams and builds
-    the binary columns both ways, timing just the assembly step."""
+def drain_kernel_slice_control(path: str) -> tuple[float, float]:
+    """(t_slice_loop, t_from_buffers) — times ONLY the binary-column
+    assembly step both ways over the same (buf, ends) streams. The delta
+    computation here is a simplified stand-in (clamped gaps, not the
+    kernel's exact per-block reset), which changes varint CONTENT but
+    not the byte-length distribution the assembly cost depends on, so
+    the slice-vs-from_buffers comparison is representative."""
     t_slice = t_buf = 0.0
     f0 = sorted(os.listdir(path))[0]
     pf = pq.ParquetFile(os.path.join(path, f0))

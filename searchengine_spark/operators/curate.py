@@ -157,9 +157,14 @@ def quality_percentile_filter(df: DataFrame, top_frac: float = 0.2,
     """
     from pyspark.sql import Window
 
+    if not (0.0 < top_frac <= 1.0):
+        raise ValueError(f"top_frac must be in (0, 1], got {top_frac}")
     sig = _percentile_signals(df, stratum_col, text_col, id_col)
     if method == "auto":
-        biggest = (sig.groupBy("_stratum").count()
+        # routing count over the RAW frame — no n_tokens projection, so
+        # the decision pass never tokenizes (a stratum-key scan, not a
+        # second full pass over the text)
+        biggest = (df.groupBy(stratum_col).count()
                    .agg(F.max("count")).collect()[0][0]) or 0
         method = "histogram" if biggest > max_sort_rows else "window"
     if method == "window":
@@ -175,15 +180,25 @@ def quality_percentile_filter(df: DataFrame, top_frac: float = 0.2,
     # Desc-rank view: doc with asc-rank r has desc-rank d = n−r+1 and
     # percent_rank (r−1)/(n−1) = (n−d)/(n−1); keep d ≤ K where K is the
     # largest d passing the SAME double-division comparison the window
-    # route evaluates. K is found from a closed-form floor guess adjusted
-    # ±1 against the exact predicate (the guess is within one of the true
-    # boundary; the predicate, not the guess, decides).
+    # route evaluates. K is found from a closed-form floor guess probed
+    # ±2 against the exact predicate (multiply- and divide-rounding can
+    # each shift the boundary by one integer independently; the
+    # predicate, not the guess, decides — the otherwise(0) is reachable
+    # only for the n == 1, q > 0 singleton drop, since pred(1) is
+    # (n−1)/(n−1) = 1 ≥ q for every q ≤ 1).
+    #
+    # A NULL stratum is one group like any other (matching the window
+    # route's partitionBy); joins key on (isnull flag, coalesced value)
+    # because plain join equality would null-reject the whole stratum.
     q = 1.0 - top_frac
-    hist = sig.groupBy("_stratum", "n_tokens").agg(F.count("*").alias("cnt"))
-    wdesc = (Window.partitionBy("_stratum")
+    sig = sig.withColumn("_snull", F.col("_stratum").isNull()) \
+             .withColumn("_sk", F.coalesce(F.col("_stratum"), F.lit("")))
+    skey = ["_snull", "_sk"]
+    hist = sig.groupBy(*skey, "n_tokens").agg(F.count("*").alias("cnt"))
+    wdesc = (Window.partitionBy(*skey)
              .orderBy(F.col("n_tokens").desc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wall = Window.partitionBy("_stratum")
+    wall = Window.partitionBy(*skey)
     n = F.col("n")
     denom = (n - 1).cast("double")
 
@@ -193,11 +208,14 @@ def quality_percentile_filter(df: DataFrame, top_frac: float = 0.2,
         return F.when(n > 1, (n - d).cast("double") / denom >= F.lit(q)) \
                 .otherwise(F.lit(q <= 0.0))
 
-    guess = F.floor(n.cast("double") - F.lit(q) * (n - 1).cast("double")) \
-             .cast("long")
-    k_col = (F.when(_pred(guess + 1), guess + 1)
+    guess = F.least(F.greatest(
+        F.floor(n.cast("double") - F.lit(q) * (n - 1).cast("double"))
+         .cast("long"), F.lit(1)), n)
+    k_col = (F.when(_pred(guess + 2), guess + 2)
+              .when(_pred(guess + 1), guess + 1)
               .when(_pred(guess), guess)
               .when(_pred(guess - 1), guess - 1)
+              .when(_pred(guess - 2), guess - 2)
               .otherwise(F.lit(0)))
     h = (hist
          .withColumn("cum", F.sum("cnt").over(wdesc))
@@ -206,18 +224,18 @@ def quality_percentile_filter(df: DataFrame, top_frac: float = 0.2,
          .withColumn("cum_before", F.col("cum") - F.col("cnt")))
     # values fully inside the cut: every doc with this n_tokens passes
     full_vals = (h.filter(F.col("cum") <= F.col("k"))
-                 .select("_stratum", "n_tokens"))
+                 .select(*skey, "n_tokens"))
     # the (single per stratum) boundary value: keep its t_keep largest
     # doc_ids — asc order ties break doc_id asc, so the kept tail of the
     # asc order is the doc_id-DESC head of the tied group
     boundary = (h.filter((F.col("cum_before") < F.col("k"))
                          & (F.col("k") < F.col("cum")))
-                .select("_stratum", "n_tokens",
+                .select(*skey, "n_tokens",
                         (F.col("k") - F.col("cum_before")).alias("t_keep")))
-    kept_full = sig.join(F.broadcast(full_vals), ["_stratum", "n_tokens"],
+    kept_full = sig.join(F.broadcast(full_vals), [*skey, "n_tokens"],
                          "left_semi")
-    bnd = sig.join(F.broadcast(boundary), ["_stratum", "n_tokens"])
-    wb = (Window.partitionBy("_stratum", "n_tokens")
+    bnd = sig.join(F.broadcast(boundary), [*skey, "n_tokens"])
+    wb = (Window.partitionBy(*skey, "n_tokens")
           .orderBy(F.col("doc_id").desc()))
     bnd_kept = (bnd.withColumn("_rn", F.row_number().over(wb))
                 .filter(F.col("_rn") <= F.col("t_keep")))

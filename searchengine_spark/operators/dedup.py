@@ -362,7 +362,10 @@ def span_dedup(df: DataFrame, span_tokens: int = 12,
     """
     spark_toks = F.split(F.col(text_col), " ")
     n_sp_raw = F.ceil(F.size(spark_toks) / F.lit(span_tokens)).cast("int")
-    n_sp = F.when(n_sp_raw <= F.lit(1 << 20), n_sp_raw).otherwise(
+    # NULL text stays NULL (sequence(0, NULL) -> NULL -> explode drops the
+    # doc, the pre-guard behavior); only a real over-limit count raises
+    n_sp = F.when(n_sp_raw.isNull() | (n_sp_raw <= F.lit(1 << 20)),
+                  n_sp_raw).otherwise(
         F.raise_error(F.concat(
             F.lit("span_dedup: doc "), F.col(id_col).cast("string"),
             F.lit(f" has more than 2^20 spans of {span_tokens} tokens; "

@@ -476,6 +476,15 @@ def encode_block_batches(batches, block_size: int, avgdl: float,
             # (measured ~30x faster than the slice loop it replaced,
             # ≈12% of encode-kernel time at block_size 128;
             # scripts/profile_blocks.py)
+            if int(ends[-1]) >= 1 << 31:
+                # unreachable under the 64Ki-row Arrow batches the build
+                # configures (≤ ~640 KB of varints), but the kernel is
+                # driven directly by tests/harnesses with arbitrary
+                # batches — keep the int32-offset overflow loud, like the
+                # pa.array slice path it replaced did
+                raise ValueError(
+                    "varint stream exceeds int32 Arrow binary offsets; "
+                    "reduce spark.sql.execution.arrow.maxRecordsPerBatch")
             offs = np.empty(len(bs_idx) + 1, dtype=np.int32)
             offs[0] = 0
             offs[1:] = ends[be_idx - 1]

@@ -467,8 +467,15 @@ class IvfPqIndex:
         are bit-identical to what a frozen-quantizer rebuild over the
         union would produce (pytest pins append-then-probe ≡
         rebuild-probe). Refuses without a committed sidecar, exactly like
-        probes do — appending to a half-built index would orphan rows."""
-        self._meta()  # loads + commits-checks the sidecar (raises if none)
+        probes do — appending to a half-built index would orphan rows.
+        The sidecar is ALWAYS re-read from disk here (never the object's
+        in-memory quantizers): after a failed build() the object still
+        holds trained quantizers but no commit exists — an in-memory
+        shortcut would append to exactly the half-built index this
+        refusal guards against, and disk is the source of truth for
+        what the on-disk codes were encoded with."""
+        self.coarse, self.codebooks = None, None
+        self._meta()  # reads + param-checks the sidecar (raises if none)
         self._encode_write(df, vec_col, id_col, mode="append")
         return self
 

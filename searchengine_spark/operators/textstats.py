@@ -105,8 +105,7 @@ def _hex_digit_val(col):
     return F.conv(col, 16, 10).cast("int")
 
 
-def simhash64(tf: DataFrame, broadcast_signs: bool | None = None,
-              broadcast_vocab_limit: int = 4_000_000) -> DataFrame:
+def simhash64(tf: DataFrame, broadcast_signs: bool | None = None) -> DataFrame:
     """64-bit SimHash per document from a (doc_id, term, tf) frame, emitted
     as two 32-bit halves (simhash_hi, simhash_lo) so every engine's signed
     64-bit integer holds them without overflow.
@@ -114,11 +113,14 @@ def simhash64(tf: DataFrame, broadcast_signs: bool | None = None,
     broadcast_signs: the per-term sign table is |vocab|×(22 longs + term)
     — broadcast-able up to a few million distinct terms, a multi-GB
     driver/executor bomb at web-scale vocabularies (10^8+ terms). The
-    default (None) AUTO-ROUTES: one approx_count_distinct pass over the
-    term column (a partial-aggregated scan, no distinct shuffle) picks
-    broadcast below broadcast_vocab_limit and the shuffle join above it.
-    Pass True/False to skip the counting pass when the caller knows the
-    vocabulary class.
+    default (None) emits NO join hint and lets AQE decide at runtime
+    from the distinct's ACTUAL shuffle statistics: under
+    spark.sql.autoBroadcastJoinThreshold the sign-table side converts to
+    a broadcast join, above it the join stays shuffled — the scale-safe
+    default with zero extra jobs (no eager vocabulary count, and the
+    lineage stays streamable). Pass True to force the broadcast hint
+    when the caller KNOWS the vocabulary is small (e.g. AQE disabled);
+    False is an explicit no-hint alias of the default.
 
     Bit b (0..63) draws from bit (b%4) of the value of hex digit (b//4) of
     md5(term): weight_b(doc) = Σ tf·(2·bit−1), simhash bit = weight_b > 0.
@@ -155,9 +157,6 @@ def simhash64(tf: DataFrame, broadcast_signs: bool | None = None,
             acc = part if acc is None else acc + part
         mask_cols.append(acc.alias(f"m{j}"))
     term_signs = terms.select("term", *mask_cols)
-    if broadcast_signs is None:
-        vocab = tf.agg(F.approx_count_distinct("term")).collect()[0][0]
-        broadcast_signs = vocab <= broadcast_vocab_limit
     if broadcast_signs:
         term_signs = F.broadcast(term_signs)
     weighted = (tf.join(term_signs, "term")

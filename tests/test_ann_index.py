@@ -478,7 +478,7 @@ def test_ivfpq_append_refuses_uncommitted_or_mismatched(spark, emb,
     from searchengine_spark.operators.similarity import IvfPqIndex
 
     path = str(tmp_path_factory.mktemp("ann") / "pq_apfail")
-    IvfPqIndex(spark, path, dim=64, m=16).build(emb, train_iter=2)
+    built = IvfPqIndex(spark, path, dim=64, m=16).build(emb, train_iter=2)
     wrong_m = IvfPqIndex(spark, path, dim=64, m=8)
     with pytest.raises(ValueError, match="incomparable"):
         wrong_m.append(emb)
@@ -486,3 +486,9 @@ def test_ivfpq_append_refuses_uncommitted_or_mismatched(spark, emb,
     fresh = IvfPqIndex(spark, path, dim=64, m=16)
     with pytest.raises(ValueError, match="sidecar"):
         fresh.append(emb)
+    # the SAME object that ran the (now-uncommitted) build still holds
+    # trained quantizers in memory — append must consult DISK, not them
+    # (the failed-build scenario: quantizers assigned, write crashed)
+    assert built.coarse is not None
+    with pytest.raises(ValueError, match="sidecar"):
+        built.append(emb)

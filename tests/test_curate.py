@@ -152,6 +152,8 @@ def _tie_heavy_corpus():
     rows.append((i, None, "en")); i += 1              # NULL text → 0 tokens
     rows.append((i, "a b", "it")); i += 1             # two-doc stratum
     rows.append((i, "a b c d", "it")); i += 1
+    for _ in range(5):                                # NULL stratum (failed
+        rows.append((i, "p q r " * rng.randint(1, 3), None)); i += 1  # lang-id)
     return rows
 
 

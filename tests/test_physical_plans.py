@@ -129,9 +129,11 @@ def test_bm25_any_plans_take_ordered(spark):
 
 
 def test_simhash64_broadcast_auto_fallback(spark):
-    """The sign-table join broadcasts only while the vocabulary fits:
-    above broadcast_vocab_limit the auto route (default) falls back to a
-    shuffle join instead of broadcasting a web-scale sign table."""
+    """The sign-table join broadcasts only while the vocabulary fits: the
+    default emits no hint and AQE picks the strategy from the distinct's
+    ACTUAL runtime size — broadcast under autoBroadcastJoinThreshold,
+    shuffle join above it (simulated here by zeroing the threshold, the
+    same decision a 10^8-term sign table hits for real)."""
     from searchengine_spark.operators.textstats import (simhash64,
                                                         term_frequencies)
 
@@ -139,9 +141,19 @@ def test_simhash64_broadcast_auto_fallback(spark):
         [(i, f"w{i} w{(i + 1) % 8} common") for i in range(8)],
         "doc_id long, text string")
     tf = term_frequencies(docs)
-    small_vocab = _plan(simhash64(tf))                 # auto: 9 terms -> bcast
-    assert "BroadcastHashJoin" in small_vocab
-    over_limit = _plan(simhash64(tf, broadcast_vocab_limit=1))
-    assert "BroadcastHashJoin" not in over_limit       # auto: falls back
-    explicit = _plan(simhash64(tf, broadcast_signs=False))
-    assert "BroadcastHashJoin" not in explicit
+
+    def final_plan(df):
+        df.collect()  # finalize the adaptive plan with runtime stats
+        return _plan(df)
+
+    assert "BroadcastHashJoin" in final_plan(simhash64(tf))  # tiny vocab
+    explicit = _plan(simhash64(tf, broadcast_signs=True))    # static hint
+    assert "BroadcastHashJoin" in explicit
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")  # every sign table is now "too big"
+    try:
+        over = final_plan(simhash64(tf))
+        assert "BroadcastHashJoin" not in over               # AQE fallback
+    finally:
+        spark.conf.set(key, prev)
