@@ -144,7 +144,19 @@ def main() -> None:
          "exchange (only (doc_id, stratum, n_tokens) shuffles)",
          plan(spark, __import__("searchengine_spark.operators.curate",
                                 fromlist=["quality_percentile_filter"])
-              .quality_percentile_filter(docs, top_frac=0.2))),
+              .quality_percentile_filter(docs, top_frac=0.2,
+                                         method="window"))),
+        ("Per-stratum quality percentile, HISTOGRAM route (the 100-TB "
+         "path) — the only full-row exchange aggregates to the "
+         "(stratum, n_tokens) histogram; the per-stratum cut derives "
+         "from histogram-sized windows; membership returns to the doc "
+         "rows via BROADCAST joins, and only the single boundary "
+         "value's rows per stratum pass through the tie-split "
+         "row_number window — no stratum-sized sort anywhere",
+         plan(spark, __import__("searchengine_spark.operators.curate",
+                                fromlist=["quality_percentile_filter"])
+              .quality_percentile_filter(docs, top_frac=0.2,
+                                         method="histogram"))),
     ]
     out = ["# Physical plans (generated)",
            "",
