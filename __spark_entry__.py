@@ -519,6 +519,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             quality_percentile_filter)
         return quality_percentile_filter(_docs(spark, sf), top_frac=0.2)
 
+    def q_quality_top_pct_hist(spark, sf):
+        # the HISTOGRAM (100-TB) route of the same selection — result-
+        # identical to the window route by construction (property-tested
+        # in tests/test_curate.py), so it shares quality_top_pct's
+        # oracle SQL; this entry makes the scale path itself hash-gated
+        from searchengine_spark.operators.curate import (
+            quality_percentile_filter)
+        return quality_percentile_filter(_docs(spark, sf), top_frac=0.2,
+                                         method="histogram")
+
+    def q_domain_cap(spark, sf):       # per-source cap (CC curation)
+        return smp.cap_per_stratum(_docs(spark, sf), cap=10,
+                                   stratum_col="source")
+
+    def q_pack_greedy(spark, sf):      # GPT-style concat-and-cut packing
+        return smp.pack_greedy(_docs(spark, sf), max_tokens=512)
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_df_cf": q_term_df_cf,
@@ -579,6 +596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_keep": q_curate_keep,
         "curate_funnel": q_curate_funnel,
         "quality_top_pct": q_quality_top_pct,
+        "quality_top_pct_hist": q_quality_top_pct_hist,
+        "domain_cap": q_domain_cap,
+        "pack_greedy": q_pack_greedy,
     }
 
 
@@ -1325,4 +1345,30 @@ FROM r WHERE pr >= 0.8"""
     # centroids/codebooks cancel out of the top-k at full probe
     sqls["ivf_ann_trained"] = sqls["knn_cosine"]
     sqls["ivfpq_ann"] = sqls["knn_cosine"]
+    # the histogram route is result-identical to the window route by
+    # construction (equivalence property-tested) — same oracle
+    sqls["quality_top_pct_hist"] = sqls["quality_top_pct"]
+    sqls["domain_cap"] = """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY doc_id ASC, doc_id ASC)
+              AS BIGINT) AS rank
+  FROM documents)
+SELECT doc_id, source, rank FROM r WHERE rank <= 10"""
+    sqls["pack_greedy"] = """
+WITH sig AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                         w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (ORDER BY doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cum
+      FROM sig)
+SELECT doc_id, n_tokens,
+       CAST(floor(cum / 512) AS BIGINT) AS pack_id,
+       CAST(cum % 512 AS BIGINT) AS pack_offset
+FROM c"""
     return sqls

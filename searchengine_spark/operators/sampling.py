@@ -78,3 +78,77 @@ def stratified_sample(df: DataFrame, fracs: dict[str, float],
     if expr is None:
         raise ValueError("fracs must name at least one stratum")
     return df.filter(expr).select(F.col(id_col).alias("doc_id"))
+
+
+def cap_per_stratum(df: DataFrame, cap: int, stratum_col: str = "site",
+                    id_col: str = "doc_id",
+                    order_salt: str | None = None) -> DataFrame:
+    """(doc_id, <stratum_col>, rank) — at most `cap` documents per
+    stratum, the per-domain cap every Common-Crawl-style curation
+    pipeline applies (unbounded crawls of one domain otherwise dominate
+    the corpus). Selection is fully deterministic: rank by doc_id asc
+    within the stratum (the keep-first discipline the dedup family
+    uses), or — with order_salt — by the engine-portable 60-bit hash of
+    the id, which makes the cap a uniform RANDOM-but-reproducible sample
+    of the stratum rather than its oldest documents.
+
+    Scale shape: one row_number window per stratum. Strata are domains —
+    millions of them, each modest — so the window's hash partitioning
+    spreads evenly (the anti-case, one giant stratum, is exactly what
+    the cap exists to cut, and the window sorts only within each
+    stratum's partition-local run). Text is never read: the projection
+    prunes to (id, stratum) before the exchange."""
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    order = (_hash60(F.col(id_col), order_salt).asc()
+             if order_salt is not None else F.col(id_col).asc())
+    w = (Window.partitionBy(stratum_col)
+         .orderBy(order, F.col(id_col).asc()))
+    return (df.select(F.col(id_col).alias("doc_id"), F.col(stratum_col))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= F.lit(cap)))
+
+
+def pack_greedy(df: DataFrame, max_tokens: int, text_col: str = "text",
+                id_col: str = "doc_id",
+                shard_col=None) -> DataFrame:
+    """(doc_id, n_tokens, pack_id, pack_offset) — GPT-style sequence
+    packing: documents are concatenated in deterministic (shard, doc_id)
+    order and the token stream is cut every `max_tokens`; pack_id /
+    pack_offset locate each document's FIRST token (documents may
+    straddle pack boundaries — the standard concat-and-cut pretraining
+    layout, which wastes zero tokens to padding). First-fit bin packing
+    (no straddling) is inherently sequential per bin; this cumulative
+    form is the one that stays a pure window computation and is the
+    layout trainers actually consume.
+
+    shard_col partitions the stream (e.g. a url_bucket or split name) so
+    each shard packs independently — at 100 TB the window never sees
+    more than one shard's rows, and shards are the write partitioning.
+    Default is a single global stream (fine while one shard fits a
+    sort; pass a shard at scale). NULL text counts 0 tokens and rides
+    along (offset-preserving, like empty docs in a real stream).
+
+    One exchange + in-partition sort on (shard, doc_id); only
+    (doc_id, n_tokens) ever shuffles — the text column is pruned before
+    the exchange (same discipline as quality_percentile_filter)."""
+    from pyspark.sql import Window
+
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                    lambda t: t != "")
+    shard = shard_col if shard_col is not None else F.lit(0)
+    sig = df.select(F.col(id_col).alias("doc_id"),
+                    shard.alias("_shard"),
+                    F.size(toks).cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("_shard").orderBy(F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (sig.withColumn("_cum", cum)
+            .select("doc_id", "n_tokens",
+                    (F.col("_cum") / F.lit(max_tokens)).cast("long")
+                    .alias("pack_id"),
+                    (F.col("_cum") % F.lit(max_tokens)).alias("pack_offset")))

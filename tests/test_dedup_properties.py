@@ -381,3 +381,14 @@ def test_span_dedup_over_limit_doc_raises(spark):
                                  "doc_id long, text string")
     with pytest.raises(Exception, match="span_dedup"):
         span_dedup(docs, span_tokens=1).collect()
+
+
+def test_span_dedup_null_text_doc_is_dropped_not_crash(spark):
+    """A NULL-text doc keeps the pre-guard behavior (explode drops it);
+    the over-limit guard must not misfire on the NULL span count."""
+    from searchengine_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame([(1, None), (2, "a b c d")],
+                                 "doc_id long, text string")
+    got = {r["doc_id"] for r in span_dedup(docs, span_tokens=2).collect()}
+    assert got == {2}
