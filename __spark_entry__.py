@@ -536,6 +536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_pack_greedy(spark, sf):      # GPT-style concat-and-cut packing
         return smp.pack_greedy(_docs(spark, sf), max_tokens=512)
 
+    def q_lm_quality(spark, sf):       # CCNet-style unigram LM scores
+        return ts.unigram_logprob_scores(_docs(spark, sf))
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_df_cf": q_term_df_cf,
@@ -599,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_top_pct_hist": q_quality_top_pct_hist,
         "domain_cap": q_domain_cap,
         "pack_greedy": q_pack_greedy,
+        "lm_quality": q_lm_quality,
     }
 
 
@@ -1371,4 +1375,22 @@ SELECT doc_id, n_tokens,
        CAST(floor(cum / 512) AS BIGINT) AS pack_id,
        CAST(cum % 512 AS BIGINT) AS pack_offset
 FROM c"""
+    # unigram LM scores: per-term log-probs quantized to INTEGER
+    # micro-units before aggregation, so the per-doc sum is exact 64-bit
+    # integer arithmetic (order-free) in both engines; the one float
+    # division chain is applied identically per doc
+    sqls["lm_quality"] = f"""
+WITH {_TOK},
+cfreq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM cfreq),
+lp AS (SELECT term,
+         CAST(round(log10(cf / (SELECT CAST(t AS DOUBLE) FROM tot))
+                    * 1000000.0, 0) AS BIGINT) AS lpm
+       FROM cfreq),
+d AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(sum(tf.tf * lp.lpm) AS BIGINT) AS sum_logp_micro
+      FROM tf JOIN lp USING (term) GROUP BY tf.doc_id)
+SELECT doc_id, n_tokens, sum_logp_micro,
+       round((sum_logp_micro / 1000000.0) / n_tokens, 6) AS avg_logp
+FROM d"""
     return sqls

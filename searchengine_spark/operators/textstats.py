@@ -297,3 +297,49 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     )
     return (out.filter(F.col("_n_bg") > 0)
             .drop("_n_bg"))
+
+
+def unigram_logprob_scores(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, sum_logp_micro, avg_logp) — the CCNet-style
+    language-model quality signal, unigram edition: each document scored
+    by the mean log10 corpus-unigram probability of its tokens. Natural
+    prose (common words) scores high; gibberish, boilerplate IDs, and
+    wrong-language text (rare unigrams) score low — the standard "LM
+    perplexity" curation gate with the model trained on the corpus
+    itself (CCNet trains 5-gram KenLM; the unigram form is the
+    shuffle-shaped skeleton, and the signal quality gate tests pin).
+
+    Cross-engine determinism (the interesting part): floating-point SUMS
+    are order-dependent and Spark's aggregation order is not, so per-term
+    log-probs are quantized to INTEGER micro-units — lpm =
+    round(log10(cf/total)·1e6) as a long — before any aggregation. The
+    per-doc reduction Σ tf·lpm is then exact 64-bit integer arithmetic
+    (order-free), and the only float ops left are one division chain
+    applied once per doc, identical in any engine:
+    avg_logp = round((Σ/1e6)/n_tokens, 6). |lpm| ≤ ~12·1e6 and
+    Σ|tf·lpm| ≤ doc_tokens·12e6 — overflow needs a 10^12-token document.
+
+    Scale shape: the unigram table is one (term → cf) aggregation; total
+    corpus tokens ride a 1-row broadcast cross join (no driver scalar);
+    scoring is one join of (doc_id, term, tf) against the table (AQE
+    picks broadcast vs shuffle from the table's real size) and one
+    integer groupBy per doc. Docs with zero tokens have no rows to score
+    and are absent from the output (both engines, by join construction)."""
+    tf = term_frequencies(df, text_col, id_col)
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    tot = cf.agg(F.sum("cf").cast("long").alias("_tot"))
+    lpm = (cf.crossJoin(F.broadcast(tot))
+           .select("term",
+                   F.round(F.log10(F.col("cf") / F.col("_tot"))
+                           * F.lit(1000000.0), 0)
+                    .cast("long").alias("lpm")))
+    d = (tf.join(lpm, "term")
+         .groupBy("doc_id")
+         .agg(F.sum("tf").cast("long").alias("n_tokens"),
+              F.sum(F.col("tf") * F.col("lpm")).cast("long")
+               .alias("sum_logp_micro")))
+    return d.select(
+        "doc_id", "n_tokens", "sum_logp_micro",
+        F.round((F.col("sum_logp_micro") / F.lit(1000000.0))
+                / F.col("n_tokens"), 6).alias("avg_logp"))

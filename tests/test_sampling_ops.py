@@ -79,3 +79,28 @@ def test_pack_greedy_rejects_bad_max(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         pack_greedy(df, max_tokens=0)
+
+
+def test_unigram_lm_scores_rank_gibberish_low(spark):
+    """The LM-quality gate's point: docs made of corpus-common words
+    outscore docs of corpus-rare gibberish; the integer micro-logprob
+    sum is exact and run-stable."""
+    from searchengine_spark.operators.textstats import unigram_logprob_scores
+
+    common = "the cat sat on the mat and the dog sat too"
+    rows = ([(i, common) for i in range(8)]
+            + [(100, "zqxj vvkw pflm qqrt")]          # corpus-rare junk
+            + [(101, "the dog and the cat")])          # common words only
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_logp"]
+           for r in unigram_logprob_scores(df).collect()}
+    assert out[101] > out[100]                 # natural >> gibberish
+    assert out[0] > out[100]
+    again = {r["doc_id"]: r["avg_logp"]
+             for r in unigram_logprob_scores(df).collect()}
+    assert out == again                        # exact reproducibility
+    # zero-token docs are absent, not scored
+    df2 = spark.createDataFrame(rows + [(200, "")],
+                                "doc_id long, text string")
+    ids = {r["doc_id"] for r in unigram_logprob_scores(df2).collect()}
+    assert 200 not in ids
