@@ -94,6 +94,10 @@ HEADLINE = [
     "quality_scores",
     "token_counts",
     "fingerprints",
+    # round-5 additions (new lines, not comparable to earlier rounds)
+    "lm_quality",
+    "domain_cap",
+    "pack_greedy",
 ]
 
 
