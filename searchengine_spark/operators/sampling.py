@@ -127,6 +127,8 @@ def pack_greedy(df: DataFrame, max_tokens: int, text_col: str = "text",
     shard_col partitions the stream (e.g. a url_bucket or split name) so
     each shard packs independently — at 100 TB the window never sees
     more than one shard's rows, and shards are the write partitioning.
+    pack_id is PER-SHARD; (shard, pack_id) is the global pack key (join
+    the shard column back via doc_id when consumers need it).
     Default is a single global stream (fine while one shard fits a
     sort; pass a shard at scale). NULL text counts 0 tokens and rides
     along (offset-preserving, like empty docs in a real stream).
