@@ -1356,7 +1356,7 @@ FROM r WHERE pr >= 0.8"""
 WITH r AS (
   SELECT doc_id, source,
          CAST(row_number() OVER (PARTITION BY source
-                                 ORDER BY doc_id ASC, doc_id ASC)
+                                 ORDER BY doc_id ASC)
               AS BIGINT) AS rank
   FROM documents)
 SELECT doc_id, source, rank FROM r WHERE rank <= 10"""
@@ -1371,7 +1371,7 @@ c AS (SELECT doc_id, n_tokens,
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           AS cum
       FROM sig)
-SELECT doc_id, n_tokens,
+SELECT doc_id, CAST(0 AS INTEGER) AS shard, n_tokens,
        CAST(floor(cum / 512) AS BIGINT) AS pack_id,
        CAST(cum % 512 AS BIGINT) AS pack_offset
 FROM c"""

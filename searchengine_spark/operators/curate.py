@@ -105,11 +105,11 @@ def _percentile_signals(df: DataFrame, stratum_col: str, text_col: str,
     coalesce keeps ordering engine-independent: Spark windows sort NULLS
     FIRST asc while DuckDB's percent_rank defaults NULLS LAST, so a NULL
     that survived to the sort would rank opposite ways)."""
-    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-                    lambda w: w != "")
+    from .textstats import ws_token_count
+
     return df.select(F.col(id_col).alias("doc_id"),
                      F.col(stratum_col).alias("_stratum"),
-                     F.size(toks).cast("long").alias("n_tokens"))
+                     ws_token_count(F.col(text_col)).alias("n_tokens"))
 
 
 def quality_percentile_filter(df: DataFrame, top_frac: float = 0.2,

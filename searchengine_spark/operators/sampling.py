@@ -114,7 +114,7 @@ def cap_per_stratum(df: DataFrame, cap: int, stratum_col: str = "site",
 def pack_greedy(df: DataFrame, max_tokens: int, text_col: str = "text",
                 id_col: str = "doc_id",
                 shard_col=None) -> DataFrame:
-    """(doc_id, n_tokens, pack_id, pack_offset) — GPT-style sequence
+    """(doc_id, shard, n_tokens, pack_id, pack_offset) — GPT-style sequence
     packing: documents are concatenated in deterministic (shard, doc_id)
     order and the token stream is cut every `max_tokens`; pack_id /
     pack_offset locate each document's FIRST token (documents may
@@ -127,8 +127,9 @@ def pack_greedy(df: DataFrame, max_tokens: int, text_col: str = "text",
     shard_col partitions the stream (e.g. a url_bucket or split name) so
     each shard packs independently — at 100 TB the window never sees
     more than one shard's rows, and shards are the write partitioning.
-    pack_id is PER-SHARD; (shard, pack_id) is the global pack key (join
-    the shard column back via doc_id when consumers need it).
+    pack_id is PER-SHARD; the returned `shard` column (the shard_col
+    value, or 0 for the default single stream) makes (shard, pack_id)
+    the global pack key with no join-back.
     Default is a single global stream (fine while one shard fits a
     sort; pass a shard at scale). NULL text counts 0 tokens and rides
     along (offset-preserving, like empty docs in a real stream).
@@ -138,19 +139,24 @@ def pack_greedy(df: DataFrame, max_tokens: int, text_col: str = "text",
     the exchange (same discipline as quality_percentile_filter)."""
     from pyspark.sql import Window
 
+    from .textstats import ws_token_count
+
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
-    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-                    lambda t: t != "")
-    shard = shard_col if shard_col is not None else F.lit(0)
+    if shard_col is None:
+        shard = F.lit(0)
+    elif isinstance(shard_col, str):
+        shard = F.col(shard_col)
+    else:
+        shard = shard_col
     sig = df.select(F.col(id_col).alias("doc_id"),
-                    shard.alias("_shard"),
-                    F.size(toks).cast("long").alias("n_tokens"))
-    w = (Window.partitionBy("_shard").orderBy(F.col("doc_id").asc())
+                    shard.alias("shard"),
+                    ws_token_count(F.col(text_col)).alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy(F.col("doc_id").asc())
          .rowsBetween(Window.unboundedPreceding, -1))
     cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (sig.withColumn("_cum", cum)
-            .select("doc_id", "n_tokens",
+            .select("doc_id", "shard", "n_tokens",
                     (F.col("_cum") / F.lit(max_tokens)).cast("long")
                     .alias("pack_id"),
                     (F.col("_cum") % F.lit(max_tokens)).alias("pack_offset")))

@@ -33,6 +33,16 @@ def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df
 
 
+def ws_token_count(col):
+    """Column: whitespace token count with NULL text counting 0 — the
+    shared expression behind pack_greedy and quality_percentile_filter
+    (ONE definition so the operators and their DuckDB oracles —
+    len(list_filter(string_split(coalesce(text,''),' '), w->w<>'')) —
+    can never drift apart)."""
+    return F.size(F.filter(F.split(F.coalesce(col, F.lit("")), " "),
+                           lambda w: w != "")).cast("long")
+
+
 def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, pos, term) — whitespace tokenization, empties dropped."""
     return (df
@@ -316,9 +326,15 @@ def unigram_logprob_scores(df: DataFrame, text_col: str = "text",
     round(log10(cf/total)·1e6) as a long — before any aggregation. The
     per-doc reduction Σ tf·lpm is then exact 64-bit integer arithmetic
     (order-free), and the only float ops left are one division chain
-    applied once per doc, identical in any engine:
-    avg_logp = round((Σ/1e6)/n_tokens, 6). |lpm| ≤ ~12·1e6 and
-    Σ|tf·lpm| ≤ doc_tokens·12e6 — overflow needs a 10^12-token document.
+    applied once per doc: avg_logp = round((Σ/1e6)/n_tokens, 6).
+    |lpm| ≤ ~12·1e6 and Σ|tf·lpm| ≤ doc_tokens·12e6 — overflow needs a
+    10^12-token document. Honest residual exposure: the quantization
+    itself reads a library log10 (JVM vs libm can differ in the last
+    ulp), so a term whose log10·1e6 lands within ~1e-10 of a .5
+    boundary could round to different micro-units across engines —
+    measure-zero per term (~1e-10), not engineered away; the INTEGER
+    columns are exact once lpm agrees, which the sum's order-freedom
+    guarantees (the thing float accumulation could never give).
 
     Scale shape: the unigram table is one (term → cf) aggregation; total
     corpus tokens ride a 1-row broadcast cross join (no driver scalar);
