@@ -209,3 +209,25 @@ def test_percentile_bad_method_rejected(spark):
                                "doc_id long, text string, lang string")
     with pytest.raises(ValueError):
         quality_percentile_filter(df, method="quantile")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["en", "de", "fr", None]),   # stratum
+              st.integers(min_value=0, max_value=6)),      # token count
+    min_size=1, max_size=60),
+    st.sampled_from([0.1, 0.2, 0.25, 0.5, 0.75, 0.99, 1.0]))
+@settings(max_examples=12, deadline=None)
+def test_percentile_routes_agree_randomized(spark, rows, top_frac):
+    """Property: histogram ≡ window on ARBITRARY corpora — random strata
+    (incl. NULL), tie-heavy small token counts, grid of top_frac. This
+    is the randomized backstop behind the ±2 K-probe and the null-safe
+    membership joins."""
+    data = [(i, "w " * n if n else "", lang)
+            for i, (lang, n) in enumerate(rows)]
+    w = _pct_rows(spark, data, top_frac, "window")
+    h = _pct_rows(spark, data, top_frac, "histogram")
+    assert h == w, (top_frac, rows)
