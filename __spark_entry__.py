@@ -539,6 +539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lm_quality(spark, sf):       # CCNet-style unigram LM scores
         return ts.unigram_logprob_scores(_docs(spark, sf))
 
+    def q_lm_quality_bigram(spark, sf):  # order-sensitive bigram LM scores
+        return ts.bigram_logprob_scores(_docs(spark, sf))
+
     return {
         "tokenize_tf": q_tokenize_tf,
         "term_df_cf": q_term_df_cf,
@@ -603,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "pack_greedy": q_pack_greedy,
         "lm_quality": q_lm_quality,
+        "lm_quality_bigram": q_lm_quality_bigram,
     }
 
 
@@ -1392,5 +1396,35 @@ d AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
       FROM tf JOIN lp USING (term) GROUP BY tf.doc_id)
 SELECT doc_id, n_tokens, sum_logp_micro,
        round((sum_logp_micro / 1000000.0) / n_tokens, 6) AS avg_logp
+FROM d"""
+    # bigram conditional LM: same integer micro-logprob discipline; the
+    # lag window over (doc_id, ord) pairs exactly the tokens Spark's lag
+    # over retained positions pairs (empties dropped on both sides, and
+    # ordering by the RAW subscript keeps gaps harmless)
+    sqls["lm_quality_bigram"] = """
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+tokf AS (SELECT doc_id, term, ord FROM tokp WHERE term <> ''),
+bg AS (SELECT doc_id,
+              lag(term) OVER (PARTITION BY doc_id ORDER BY ord) AS prev,
+              term
+       FROM tokf),
+dbt AS (SELECT doc_id, prev, term, CAST(count(*) AS BIGINT) AS tf
+        FROM bg WHERE prev IS NOT NULL GROUP BY doc_id, prev, term),
+bgcf AS (SELECT prev, term, CAST(sum(tf) AS BIGINT) AS cf
+         FROM dbt GROUP BY prev, term),
+ctx AS (SELECT prev, CAST(sum(cf) AS BIGINT) AS ctx_cf
+        FROM bgcf GROUP BY prev),
+lp AS (SELECT bgcf.prev, bgcf.term,
+         CAST(round(log10(bgcf.cf / CAST(ctx.ctx_cf AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS lpm
+       FROM bgcf JOIN ctx USING (prev)),
+d AS (SELECT dbt.doc_id, CAST(sum(dbt.tf) AS BIGINT) AS n_bigrams,
+             CAST(sum(dbt.tf * lp.lpm) AS BIGINT) AS sum_logp_micro
+      FROM dbt JOIN lp USING (prev, term) GROUP BY dbt.doc_id)
+SELECT doc_id, n_bigrams, sum_logp_micro,
+       round((sum_logp_micro / 1000000.0) / n_bigrams, 6) AS avg_logp
 FROM d"""
     return sqls

@@ -359,3 +359,57 @@ def unigram_logprob_scores(df: DataFrame, text_col: str = "text",
         "doc_id", "n_tokens", "sum_logp_micro",
         F.round((F.col("sum_logp_micro") / F.lit(1000000.0))
                 / F.col("n_tokens"), 6).alias("avg_logp"))
+
+
+def bigram_logprob_scores(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bigrams, sum_logp_micro, avg_logp) — bigram conditional
+    LM quality: each document scored by the mean log10 p(w_i | w_{i-1})
+    under the corpus's own bigram model, p(w|prev) = cf(prev,w)/ctx(prev)
+    with ctx(prev) = Σ_w cf(prev,w). The order-sensitive upgrade of
+    unigram_logprob_scores: "the cat sat" and "sat the cat" share
+    unigrams but not bigram likelihood — this is the signal that
+    separates shuffled/templated boilerplate from prose (the CCNet
+    n-gram-LM direction; 5-gram KenLM is the same shape with a bigger
+    join key). Self-scoring over one corpus needs no smoothing — every
+    document bigram is in the corpus table by construction; scoring NEW
+    text against a frozen table is the two-frame variant (join misses ⇒
+    back off to unigram_logprob_scores' table, the stupid-backoff plan).
+
+    Determinism: identical to unigram_logprob_scores — per-bigram
+    log-probs quantized to integer micro-units before the order-free
+    per-doc integer reduction (same measure-zero log10-ulp boundary
+    note). Docs with fewer than 2 tokens have no bigrams and are absent.
+
+    Scale shape: bigram extraction is one lag window per doc (partition
+    = doc_id — millions of small partitions, never skewed); the model is
+    two aggregations on (prev, term) / (prev); scoring is one AQE-routed
+    join + one integer groupBy. Bigram keys are the shuffle currency —
+    at web scale hash the pair to a 64-bit key (xxhash64) if the string
+    pair dominates the exchange; kept as strings here for oracle
+    transparency."""
+    from pyspark.sql import Window
+
+    t = tokens(df, text_col, id_col)
+    wlag = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    bg = (t.withColumn("prev", F.lag("term").over(wlag))
+          .filter(F.col("prev").isNotNull()))
+    dbt = (bg.groupBy("doc_id", "prev", "term")
+           .agg(F.count("*").cast("long").alias("tf")))
+    bgcf = (dbt.groupBy("prev", "term")
+            .agg(F.sum("tf").cast("long").alias("cf")))
+    ctx = bgcf.groupBy("prev").agg(F.sum("cf").cast("long").alias("ctx_cf"))
+    lp = (bgcf.join(ctx, "prev")
+          .select("prev", "term",
+                  F.round(F.log10(F.col("cf") / F.col("ctx_cf"))
+                          * F.lit(1000000.0), 0)
+                   .cast("long").alias("lpm")))
+    d = (dbt.join(lp, ["prev", "term"])
+         .groupBy("doc_id")
+         .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+              F.sum(F.col("tf") * F.col("lpm")).cast("long")
+               .alias("sum_logp_micro")))
+    return d.select(
+        "doc_id", "n_bigrams", "sum_logp_micro",
+        F.round((F.col("sum_logp_micro") / F.lit(1000000.0))
+                / F.col("n_bigrams"), 6).alias("avg_logp"))

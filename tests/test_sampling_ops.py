@@ -104,3 +104,29 @@ def test_unigram_lm_scores_rank_gibberish_low(spark):
                                 "doc_id long, text string")
     ids = {r["doc_id"] for r in unigram_logprob_scores(df2).collect()}
     assert 200 not in ids
+
+
+def test_bigram_lm_is_order_sensitive(spark):
+    """The bigram scorer's point over the unigram one: a doc of corpus-
+    frequent bigrams outscores a shuffled doc of the SAME unigrams."""
+    from searchengine_spark.operators.textstats import (
+        bigram_logprob_scores, unigram_logprob_scores)
+
+    natural = "the cat sat on the mat"
+    rows = ([(i, natural) for i in range(8)]
+            + [(100, "mat the on sat cat the")]   # same unigrams, shuffled
+            + [(101, "the cat sat")])             # frequent bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bg = {r["doc_id"]: r["avg_logp"]
+          for r in bigram_logprob_scores(df).collect()}
+    assert bg[101] > bg[100]                      # order matters
+    ug = {r["doc_id"]: r["avg_logp"]
+          for r in unigram_logprob_scores(df).collect()}
+    # ...and the unigram scorer CANNOT separate doc 100 from doc 0's
+    # per-token quality (same bag of words): bigram adds real signal
+    assert abs(ug[100] - ug[0]) < 0.3
+    # docs with < 2 tokens have no bigrams and are absent
+    df2 = spark.createDataFrame(rows + [(200, "solo")],
+                                "doc_id long, text string")
+    assert 200 not in {r["doc_id"]
+                       for r in bigram_logprob_scores(df2).collect()}
