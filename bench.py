@@ -96,6 +96,7 @@ HEADLINE = [
     "fingerprints",
     # round-5 additions (new lines, not comparable to earlier rounds)
     "lm_quality",
+    "lm_quality_bigram",
     "domain_cap",
     "pack_greedy",
 ]
