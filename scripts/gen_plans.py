@@ -157,6 +157,20 @@ def main() -> None:
                                 fromlist=["quality_percentile_filter"])
               .quality_percentile_filter(docs, top_frac=0.2,
                                          method="histogram"))),
+        ("Sequence packing (pack_greedy) — text pruned to (doc_id, "
+         "n_tokens) before the ONE exchange on the shard key; the "
+         "exclusive-window cumulative sum and the pack arithmetic are "
+         "in-partition, so the token stream is never materialized",
+         plan(spark, __import__("searchengine_spark.operators.sampling",
+                                fromlist=["pack_greedy"])
+              .pack_greedy(docs, max_tokens=512))),
+        ("Bigram LM scoring (bigram_logprob_scores) — per-doc lag "
+         "window (partition = doc_id, never skewed), model = two "
+         "(prev, term)/(prev) aggregations, scoring join AQE-routed, "
+         "per-doc reduction is an integer hash aggregate",
+         plan(spark, __import__("searchengine_spark.operators.textstats",
+                                fromlist=["bigram_logprob_scores"])
+              .bigram_logprob_scores(docs))),
     ]
     out = ["# Physical plans (generated)",
            "",
